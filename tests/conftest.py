@@ -2,12 +2,20 @@
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on host devices (the XLA SPMD partitioner is identical).
+
+NB: some environments pin JAX_PLATFORMS to a TPU plugin via sitecustomize;
+`jax.config.update` is the override that always wins, so we use it here
+(plus XLA_FLAGS, which must be set before backend init).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,349 @@
+"""Transformer building blocks as pure JAX functions over param pytrees.
+
+Rebuild of the reference block zoo (ref:projects/models/module.py) designed
+for XLA: layers of a stack are *stacked along a leading axis* and applied
+with ``lax.scan`` (constant compile time, weight streaming friendly), and the
+factorized spatio-temporal TAR block folds its batch dims so both attentions
+are single large batched matmuls on the MXU.
+
+Weight-layout conventions (for the torch checkpoint importer):
+  linear:  y = x @ w + b, w is [in, out] (transpose of torch's [out, in])
+  attention: fused qkv [d, 3d] with bias (the reference uses
+    ``bias=not config.bias`` on attention projections — with config.bias
+    False they HAVE biases, ref:module.py:89-95); output proj [d, d] + bias
+  mlp: fc [d, 4d], proj [4d, d], NO bias (``bias=config.bias``,
+    ref:module.py:236-242)
+  layernorm: weight only, eps 1e-5 (bias=None, ref:module.py:26-37)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initialisers
+# ---------------------------------------------------------------------------
+def _normal(key, shape, dtype, std=0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool, dtype) -> Params:
+    p = {"w": _normal(key, (d_in, d_out), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_layernorm(dim: int, dtype) -> Params:
+    return {"w": jnp.ones((dim,), dtype)}
+
+
+def init_attention(key, d: int, bias_flag: bool, dtype) -> Params:
+    """bias_flag is the *config* flag; attention uses `not bias_flag`."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv": init_linear(k1, d, 3 * d, not bias_flag, dtype),
+        "proj": init_linear(k2, d, d, not bias_flag, dtype),
+    }
+
+
+def init_cross_attention(key, d: int, bias_flag: bool, dtype) -> Params:
+    """Separate q/k/v projections (ref:module.py:454-509)."""
+    ks = jax.random.split(key, 4)
+    return {
+        "q": init_linear(ks[0], d, d, not bias_flag, dtype),
+        "k": init_linear(ks[1], d, d, not bias_flag, dtype),
+        "v": init_linear(ks[2], d, d, not bias_flag, dtype),
+        "proj": init_linear(ks[3], d, d, not bias_flag, dtype),
+    }
+
+
+def init_mlp(key, d: int, bias_flag: bool, dtype, d_hidden=None,
+             d_out=None) -> Params:
+    d_hidden = d_hidden or 4 * d
+    d_out = d_out or d
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc": init_linear(k1, d, d_hidden, bias_flag, dtype),
+        "proj": init_linear(k2, d_hidden, d_out, bias_flag, dtype),
+    }
+
+
+def init_block_tar(key, d: int, bias_flag: bool, dtype) -> Params:
+    """Factorized spatial→temporal→spatial block (ref:module.py:296-359)."""
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": init_layernorm(d, dtype),
+        "sa1": init_attention(ks[0], d, bias_flag, dtype),
+        "ln2": init_layernorm(d, dtype),
+        "mlp1": init_mlp(ks[1], d, bias_flag, dtype),
+        "ln3": init_layernorm(d, dtype),
+        "ta": init_attention(ks[2], d, bias_flag, dtype),
+        "ln4": init_layernorm(d, dtype),
+        "mlp2": init_mlp(ks[3], d, bias_flag, dtype),
+        "ln5": init_layernorm(d, dtype),
+        "sa2": init_attention(ks[4], d, bias_flag, dtype),
+        "ln6": init_layernorm(d, dtype),
+        "mlp3": init_mlp(ks[5], d, bias_flag, dtype),
+    }
+
+
+def init_block_oar(key, d: int, bias_flag: bool, dtype) -> Params:
+    """Single causal attention + MLP (ref:module.py:378-416)."""
+    ks = jax.random.split(key, 2)
+    return {
+        "ln1": init_layernorm(d, dtype),
+        "attn": init_attention(ks[0], d, bias_flag, dtype),
+        "ln2": init_layernorm(d, dtype),
+        "mlp": init_mlp(ks[1], d, bias_flag, dtype),
+    }
+
+
+def init_decoder_block(key, d: int, bias_flag: bool, dtype) -> Params:
+    """Self-attn → cross-attn → MLP (ref:module.py:630-683)."""
+    ks = jax.random.split(key, 3)
+    return {
+        "ln1": init_layernorm(d, dtype),
+        "self_attn": init_attention(ks[0], d, bias_flag, dtype),
+        "ln2": init_layernorm(d, dtype),
+        "ln3": init_layernorm(d, dtype),
+        "cross_attn": init_cross_attention(ks[1], d, bias_flag, dtype),
+        "ln4": init_layernorm(d, dtype),
+        "mlp": init_mlp(ks[2], d, bias_flag, dtype),
+    }
+
+
+def init_stack(key, n_layers: int, init_fn, *args) -> Params:
+    """Stack per-layer params along a leading axis for lax.scan."""
+    keys = jax.random.split(key, n_layers)
+    layers = [init_fn(k, *args) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+# ---------------------------------------------------------------------------
+# primitive ops
+# ---------------------------------------------------------------------------
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["w"].astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # exact erf GELU (torch nn.GELU default)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["proj"], gelu(linear(p["fc"], x)))
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head)
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         causal: bool) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, S, H, Dh] tensors.
+
+    With q_len < k_len and causal=True the mask is aligned bottom-right
+    (decode semantics, matching flash_attn_func, ref:module.py:218-225).
+    XLA path; the Pallas flash kernel (umgen_tpu.ops.attention) is swapped in
+    by the model when enabled.
+    """
+    B, Sq, H, Dh = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / math.sqrt(Dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        qi = jnp.arange(Sq)[:, None] + (Sk - Sq)
+        ki = jnp.arange(Sk)[None, :]
+        logits = jnp.where(ki <= qi, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def attention(p: Params, x: jnp.ndarray, n_head: int, causal: bool,
+              attn_impl=sdpa) -> jnp.ndarray:
+    """Fused-QKV self-attention over [B, S, D] (ref:module.py:179-230)."""
+    B, S, D = x.shape
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    y = attn_impl(_split_heads(q, n_head), _split_heads(k, n_head),
+                  _split_heads(v, n_head), causal)
+    return linear(p["proj"], y.reshape(B, S, D))
+
+
+def attention_decode(p: Params, x: jnp.ndarray, n_head: int,
+                     kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                     cache_len: jnp.ndarray,
+                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Single-step causal decode with a preallocated KV ring.
+
+    x: [B, 1, D] new-token activations.
+    kv_cache: (k, v) each [B, S_max, H, Dh]; entries < cache_len are valid.
+    Returns (y [B, 1, D], updated cache).  The new K/V is written at
+    position `cache_len` and attended along with the prefix — equivalent to
+    the reference's concat-and-grow cache (ref:module.py:207-211) but with
+    static shapes for jit.
+    """
+    B, _, D = x.shape
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, n_head)
+    k_new = _split_heads(k, n_head)
+    v_new = _split_heads(v, n_head)
+
+    ck, cv = kv_cache
+    ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype),
+                                      (0, cache_len, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype),
+                                      (0, cache_len, 0, 0))
+
+    S_max = ck.shape[1]
+    Dh = D // n_head
+    scale = 1.0 / math.sqrt(Dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    valid = jnp.arange(S_max)[None, None, None, :] <= cache_len
+    logits = jnp.where(valid, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    y = jnp.einsum("bhqk,bkhd->bqhd", w, cv.astype(q.dtype))
+    y = linear(p["proj"], y.reshape(B, 1, D))
+    return y, (ck, cv)
+
+
+def cross_attention(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray,
+                    n_head: int) -> jnp.ndarray:
+    """Non-causal cross attention (ref:module.py:454-509)."""
+    B, Sq, D = q_in.shape
+    q = _split_heads(linear(p["q"], q_in), n_head)
+    k = _split_heads(linear(p["k"], kv_in), n_head)
+    v = _split_heads(linear(p["v"], kv_in), n_head)
+    y = sdpa(q, k, v, causal=False)
+    return linear(p["proj"], y.reshape(B, Sq, D))
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+def block_tar(p: Params, x: jnp.ndarray, n_head: int,
+              attn_impl=sdpa) -> jnp.ndarray:
+    """Factorized spatio-temporal block over [B, T, S, D]
+    (ref:module.py:332-359): spatial (non-causal over S) → temporal (causal
+    over T) → spatial, each with its own pre-LN and MLP.
+
+    This is the reference's long-context trick — it never attends over the
+    full T·S sequence.  On TPU both attentions are plain batched attention
+    with folded leading dims: (B·T, S) and (B·S, T).
+    """
+    B, T, S, D = x.shape
+
+    xs = x.reshape(B * T, S, D)
+    xs = xs + attention(p["sa1"], layer_norm(p["ln1"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp1"], layer_norm(p["ln2"], xs))
+
+    xt = xs.reshape(B, T, S, D).transpose(0, 2, 1, 3).reshape(B * S, T, D)
+    xt = xt + attention(p["ta"], layer_norm(p["ln3"], xt), n_head,
+                        causal=True, attn_impl=attn_impl)
+    xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
+
+    xs = xt.reshape(B, S, T, D).transpose(0, 2, 1, 3).reshape(B * T, S, D)
+    xs = xs + attention(p["sa2"], layer_norm(p["ln5"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp3"], layer_norm(p["ln6"], xs))
+
+    return xs.reshape(B, T, S, D)
+
+
+def block_oar(p: Params, x: jnp.ndarray, n_head: int, causal: bool = True,
+              attn_impl=sdpa) -> jnp.ndarray:
+    """Causal intra-frame block over [B, S, D] (ref:module.py:402-411)."""
+    x = x + attention(p["attn"], layer_norm(p["ln1"], x), n_head,
+                      causal=causal, attn_impl=attn_impl)
+    x = x + mlp(p["mlp"], layer_norm(p["ln2"], x))
+    return x
+
+
+def block_oar_decode(p: Params, x: jnp.ndarray, n_head: int,
+                     kv_cache, cache_len):
+    """Single-token OAR block step with KV cache."""
+    a, kv_cache = attention_decode(p["attn"], layer_norm(p["ln1"], x),
+                                   n_head, kv_cache, cache_len)
+    x = x + a
+    x = x + mlp(p["mlp"], layer_norm(p["ln2"], x))
+    return x, kv_cache
+
+
+def decoder_block(p: Params, x: jnp.ndarray, ctx: jnp.ndarray,
+                  n_head: int) -> jnp.ndarray:
+    """Self-attn → cross-attn(queries, scene emb) → MLP over [B, S, D]
+    (ref:module.py:662-683)."""
+    x = x + attention(p["self_attn"], layer_norm(p["ln1"], x), n_head,
+                      causal=False)
+    x = x + cross_attention(p["cross_attn"], layer_norm(p["ln2"], x),
+                            layer_norm(p["ln3"], ctx), n_head)
+    x = x + mlp(p["mlp"], layer_norm(p["ln4"], x))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# stacked application
+# ---------------------------------------------------------------------------
+def apply_stack(stack: Params, x: jnp.ndarray, block_fn, remat: bool = False
+                ) -> jnp.ndarray:
+    """Run a stacked-layer block sequence with lax.scan.
+
+    Replaces the reference's Python loop over nn.ModuleList
+    (ref:UMGen.py:768-769); with stacking, XLA compiles ONE block body and
+    streams per-layer weights — constant compile time in depth and the
+    standard pattern for deep stacks under pjit.
+    """
+    def body(h, layer_params):
+        f = jax.checkpoint(block_fn) if remat else block_fn
+        return f(layer_params, h), None
+
+    y, _ = jax.lax.scan(body, x, stack)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# positional encodings
+# ---------------------------------------------------------------------------
+def position_encoding_init(n_position: int, emb_dim: int,
+                           start_index: int = 0,
+                           dtype=np.float32) -> np.ndarray:
+    """Sinusoid table with a zero row at pos 0 (ref:module.py:746-768).
+
+    The reference builds this in float64 then casts to **bfloat16**
+    (ref:module.py:768) — pass dtype=ml_dtypes.bfloat16/jnp.bfloat16 for
+    bit-parity with checkpoints.
+    """
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(emb_dim, dtype=np.float64)[None, :]
+    table = (pos + start_index) / np.power(10000.0, 2 * (j // 2) / emb_dim)
+    table[0, :] = 0.0
+    table[1:, 0::2] = np.sin(table[1:, 0::2])
+    table[1:, 1::2] = np.cos(table[1:, 1::2])
+    return table.astype(dtype)

@@ -1,0 +1,439 @@
+"""The UMGen-class world model: params, embeddings, TAR cascade, ego net.
+
+Functional rebuild of ref:projects/models/UMGen.py as pure functions over a
+param pytree.  The OAR decode loop lives in umgen_tpu.models.rollout; this
+module provides everything up to the per-frame priors:
+
+  * token/positional/task embeddings and frozen VQ-codebook projections
+  * the trunk TAR (36 blocks over all four modalities), the per-modality
+    refinement TARs (map 24, box 24) and the ego network (12 TAR blocks +
+    12 cross-attention decoder blocks over 3 learned ego queries)
+  * action-aware map alignment (in-graph affine warp) driven by an in-graph
+    pose decode (the reference round-trips pose tokens through the CPU every
+    frame, ref:UMGen.py:1008-1024 — here it is a [1024]-table lookup fused
+    into the same XLA program)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umgen_tpu.config import MAP_HW, TASK_NAME_ID, TASKS, ModelConfig
+from umgen_tpu.data.pipeline import ScenePipeline
+from umgen_tpu.layout import SequenceLayout
+from umgen_tpu.models import modules as nn
+from umgen_tpu.ops.warp import affine_warp_map
+
+Params = Dict[str, Any]
+
+
+def _dt(config: ModelConfig):
+    return jnp.dtype(config.dtype)
+
+
+# ---------------------------------------------------------------------------
+# constant (non-trained) buffers
+# ---------------------------------------------------------------------------
+def build_buffers(config: ModelConfig,
+                  pipeline: Optional[ScenePipeline] = None,
+                  map_codebook: Optional[np.ndarray] = None,
+                  img_codebook: Optional[np.ndarray] = None,
+                  rng: Optional[np.random.Generator] = None) -> Params:
+    """Frozen tables: sinusoidal PEs, VQ codebooks, decode constants.
+
+    * fouier_pe [1024, d] — pose-token embedding table, built in float64 and
+      cast to bfloat16 exactly like the reference (ref:module.py:768,
+      UMGen.py:137)
+    * bbox3d_spatial_posi [1030, d] — x/y spatial PE, start_index=1024
+      (ref:UMGen.py:138)
+    * grid_center_pe [1024, d] — per-map-cell PE from digitized cell centers
+      (ref:UMGen.py:143-153)
+    * map/img codebooks [8192, 16] (ref:UMGen.py:247-255) — random when no
+      weight file is given (debug mode)
+    * ego/agent decode tables for the in-graph pose/bbox decode
+    """
+    d = config.n_embd
+    rng = rng or np.random.default_rng(0)
+    pipeline = pipeline or ScenePipeline()
+
+    fouier = nn.position_encoding_init(1024, d, dtype=np.float32)
+    spatial = nn.position_encoding_init(1030, d, start_index=1024,
+                                        dtype=np.float32)
+    # cast through bf16 to match checkpoint tables (ref:module.py:768)
+    fouier = fouier.astype(jnp.bfloat16).astype(np.float32)
+    spatial_bf16 = spatial.astype(jnp.bfloat16).astype(np.float32)
+
+    # grid-center PE (ref:UMGen.py:140-153): 32x32 cell centers at 4 m/cell,
+    # negated, normalized to [0,1], digitized into the 1024-bin table
+    gh, gw = MAP_HW
+    cell = 128.0 / gh
+    gi, gj = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    cx = -((gi + 0.5) * cell - 64.0)
+    cy = -((gj + 0.5) * cell - 64.0)
+    centers = np.stack([cx, cy], axis=-1)
+    norm = (centers + 64.0) / 128.0
+    bins = np.linspace(0.0, 1.0, 1024)
+    tok = np.digitize(norm, bins)
+    grid_pe = (spatial_bf16[tok[..., 0].reshape(-1)]
+               + spatial_bf16[tok[..., 1].reshape(-1)])
+
+    if map_codebook is None:
+        map_codebook = rng.normal(0, 1, (config.map_vocab_size,
+                                         config.n_map_embd))
+    if img_codebook is None:
+        img_codebook = rng.normal(0, 1, (config.img_vocab_size,
+                                         config.n_img_embd))
+
+    consts = pipeline.device_constants()
+    dt = _dt(config)
+    return {
+        "fouier_pe": jnp.asarray(fouier, dt),
+        "bbox_spatial_pe": jnp.asarray(spatial_bf16, dt),
+        "grid_center_pe": jnp.asarray(grid_pe, dt),
+        "map_codebook": jnp.asarray(map_codebook, dt),
+        "img_codebook": jnp.asarray(img_codebook, dt),
+        "ego_bin_mid": jnp.asarray(consts["ego_bin_midpoints"], jnp.float32),
+        "ego_mean": jnp.asarray(consts["ego_mean"], jnp.float32),
+        "ego_std": jnp.asarray(consts["ego_std"], jnp.float32),
+        "agent_bin_mid": jnp.asarray(consts["agent_bin_midpoints"],
+                                     jnp.float32),
+        "agent_lo": jnp.asarray(consts["agent_lo"], jnp.float32),
+        "agent_span": jnp.asarray(consts["agent_span"], jnp.float32),
+    }
+
+
+class UMGen:
+    """Stateless model wrapper: config + layout + pure apply functions."""
+
+    def __init__(self, config: ModelConfig,
+                 attn_impl: Optional[Callable] = None):
+        self.config = config
+        self.layout = SequenceLayout(config.task)
+        if attn_impl is None and config.use_pallas_attention:
+            from umgen_tpu.ops.attention import best_attn_impl
+            attn_impl = best_attn_impl()
+        self.attn = attn_impl or nn.sdpa
+
+    # ------------------------------------------------------------------
+    # params
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array,
+                    buffers: Optional[Params] = None) -> Params:
+        cfg = self.config
+        d, dt = cfg.n_embd, _dt(cfg)
+        keys = iter(jax.random.split(key, 64))
+        nk = lambda: next(keys)
+
+        def emb(n):
+            return nn._normal(nk(), (n, d), dt)
+
+        params: Params = {
+            # learned embeddings (ref:UMGen.py:176-184)
+            "egoe": emb(3),
+            "axe": emb(cfg.aux_vocab_size),
+            "be": emb(cfg.bbox3d_vocab_size),
+            "tpe": emb(cfg.max_frame_len),
+            "spe": emb(self.layout.seq_len),
+            "tske": emb(7),
+            # codebook-dim → d projections (ref:UMGen.py:215,235)
+            "map_mlp_pre": nn.init_mlp(nk(), cfg.n_map_embd, False, dt,
+                                       d_hidden=4 * d, d_out=d),
+            # stacks
+            "tar": nn.init_stack(nk(), cfg.n_tar_layer, nn.init_block_tar,
+                                 d, cfg.bias, dt),
+            "ln_tar": nn.init_layernorm(d, dt),
+            "oar": nn.init_stack(nk(), cfg.n_oar_layer, nn.init_block_oar,
+                                 d, cfg.bias, dt),
+            "ln_oar": nn.init_layernorm(d, dt),
+            "ego_tar": nn.init_stack(nk(), cfg.n_ego_tar_layer,
+                                     nn.init_block_tar, d, cfg.bias, dt),
+            "ln_ego_tar": nn.init_layernorm(d, dt),
+            "ego_ca": nn.init_stack(nk(), cfg.n_ego_ca_layer,
+                                    nn.init_decoder_block, d, cfg.bias, dt),
+            "ln_ego": nn.init_layernorm(d, dt),
+            # heads (no bias, ref:UMGen.py:199-211)
+            "head_tar_aux": nn.init_linear(nk(), d, cfg.aux_vocab_size,
+                                           False, dt),
+            "head_tar_pose": nn.init_linear(nk(), d, cfg.pose_vocab_size,
+                                            False, dt),
+            "head_tar_map": nn.init_linear(nk(), d, cfg.map_vocab_size,
+                                           False, dt),
+            "head_tar_bbox3d": nn.init_linear(nk(), d, cfg.bbox3d_vocab_size,
+                                              False, dt),
+            "head_ar_aux": nn.init_linear(nk(), d, cfg.aux_vocab_size,
+                                          False, dt),
+            "head_ar_pose": nn.init_linear(nk(), d, cfg.pose_vocab_size,
+                                           False, dt),
+            "head_ar_map": nn.init_linear(nk(), d, cfg.map_vocab_size,
+                                          False, dt),
+            "head_ar_bbox3d": nn.init_linear(nk(), d, cfg.bbox3d_vocab_size,
+                                             False, dt),
+            "head_ego": nn.init_linear(nk(), d, cfg.pose_vocab_size,
+                                       False, dt),
+        }
+        if cfg.split_map_tar:
+            params["map_tar"] = nn.init_stack(nk(), cfg.n_map_tar_layer,
+                                              nn.init_block_tar, d, cfg.bias,
+                                              dt)
+            params["ln_map_tar"] = nn.init_layernorm(d, dt)
+        if cfg.sample_img:
+            params["head_tar_img"] = nn.init_linear(nk(), d,
+                                                    cfg.img_vocab_size,
+                                                    False, dt)
+            params["head_ar_img"] = nn.init_linear(nk(), d,
+                                                   cfg.img_vocab_size,
+                                                   False, dt)
+            params["img_mlp_pre"] = nn.init_mlp(nk(), cfg.n_img_embd, False,
+                                                dt, d_hidden=4 * d, d_out=d)
+            if cfg.split_box_tar:
+                params["box_tar"] = nn.init_stack(nk(), cfg.n_box_tar_layer,
+                                                  nn.init_block_tar, d,
+                                                  cfg.bias, dt)
+                params["ln_box_tar"] = nn.init_layernorm(d, dt)
+        params["buffers"] = buffers if buffers is not None else \
+            build_buffers(cfg)
+        return params
+
+    def param_count(self, params: Params) -> int:
+        leaves = jax.tree.leaves(
+            {k: v for k, v in params.items() if k != "buffers"})
+        return sum(int(np.prod(l.shape)) for l in leaves)
+
+    # ------------------------------------------------------------------
+    # embeddings (ref:UMGen.py:438-528)
+    # ------------------------------------------------------------------
+    def embed_pose(self, params, tokens):
+        return params["buffers"]["fouier_pe"][tokens]
+
+    def embed_map(self, params, tokens, grid_pe: bool):
+        z = params["buffers"]["map_codebook"][tokens]
+        feats = nn.mlp(params["map_mlp_pre"], z)
+        if grid_pe:
+            feats = feats + params["buffers"]["grid_center_pe"]
+        return feats
+
+    def embed_image(self, params, tokens):
+        z = params["buffers"]["img_codebook"][tokens]
+        return nn.mlp(params["img_mlp_pre"], z)
+
+    def embed_bbox(self, params, tokens, spatial_pe: bool):
+        """tokens [..., 660]; spatial PE adds per-object x/y table entries
+        broadcast over the 11 attribute tokens (ref:UMGen.py:411-435)."""
+        feats = params["be"][tokens]
+        if spatial_pe:
+            shape = tokens.shape[:-1]
+            boxes = tokens.reshape(*shape, self.config.pad_to_length, 11)
+            pe_tab = params["buffers"]["bbox_spatial_pe"]
+            pe = pe_tab[boxes[..., 0]] + pe_tab[boxes[..., 1]]
+            pe = jnp.repeat(pe[..., None, :], 11, axis=-2)
+            feats = feats + pe.reshape(*shape, -1, feats.shape[-1])
+        return feats
+
+    def add_bos_eos(self, params, feats, mod):
+        """Wrap [B, T, S, D] content with BOS/EOS aux embeddings
+        (ref:UMGen.py:470-481)."""
+        from umgen_tpu.config import BOS_EOS
+        bos, eos = BOS_EOS[mod]
+        B, T = feats.shape[:2]
+        axe = params["axe"]
+        bos_e = jnp.broadcast_to(axe[bos], (B, T, 1, feats.shape[-1]))
+        eos_e = jnp.broadcast_to(axe[eos], (B, T, 1, feats.shape[-1]))
+        return jnp.concatenate([bos_e, feats, eos_e], axis=2)
+
+    def add_pos_emb(self, params, x, t_offset: int = 0):
+        """+ sequence PE + temporal PE (ref:UMGen.py:483-515).
+
+        t_offset shifts the temporal-PE index (used by the temporal-cache
+        fast path where absolute frame ids roll through the table)."""
+        B, T, S, D = x.shape
+        spe = params["spe"][:S][None, None]
+        tpe_idx = (jnp.arange(T) + t_offset) % self.config.max_frame_len
+        tpe = params["tpe"][tpe_idx][None, :, None, :]
+        return x + spe + tpe
+
+    # ------------------------------------------------------------------
+    # pose decode, in-graph (ref:UMGen.py:1008-1024)
+    # ------------------------------------------------------------------
+    def decode_pose(self, params, pose_tokens):
+        """pose tokens [..., 3] → metric (dx, dy, dtheta) float32."""
+        b = params["buffers"]
+        mids = b["ego_bin_mid"][jnp.clip(pose_tokens, 0, 1023)]
+        return mids * b["ego_std"] + b["ego_mean"]
+
+    # ------------------------------------------------------------------
+    # TAR input assembly
+    # ------------------------------------------------------------------
+    def _tar_input(self, params, inputs, mods, *, map_grid_pe: bool,
+                   pose_diff) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Embed + warp + wrap + concat a TAR input sequence.
+
+        Returns (emb [B, T, sum(seg_len), D], map_warped or None).
+        map_warped is the warped content-only map embedding (prior for OAR,
+        ref:UMGen.py:728-736).
+        """
+        cfg = self.config
+        segs = []
+        map_warped = None
+        for mod in mods:
+            if mod == "pose":
+                feats = self.embed_pose(params, inputs["pose"])
+            elif mod == "map":
+                feats = self.embed_map(params, inputs["map"],
+                                       grid_pe=map_grid_pe)
+                if cfg.map_transform:
+                    map_warped = affine_warp_map(feats, pose_diff)
+                    feats = map_warped + feats
+            elif mod == "bbox3d":
+                feats = self.embed_bbox(params, inputs["bbox3d"],
+                                        spatial_pe=cfg.add_posi_embedd)
+            elif mod == "image":
+                feats = self.embed_image(params, inputs["image"])
+            else:
+                raise ValueError(mod)
+            segs.append(self.add_bos_eos(params, feats, mod))
+        emb = jnp.concatenate(segs, axis=2)
+        return self.add_pos_emb(params, emb), map_warped
+
+    def _run_tar_stack(self, params, stack_name, ln_name, emb):
+        cfg = self.config
+        block = functools.partial(nn.block_tar, n_head=cfg.n_head,
+                                  attn_impl=self.attn)
+        out = nn.apply_stack(params[stack_name], emb,
+                             lambda p, h: block(p, h), remat=cfg.remat)
+        return nn.layer_norm(params[ln_name], out)
+
+    # ------------------------------------------------------------------
+    # ego network (ref:UMGen.py:634-687, 994-1005)
+    #
+    # NB the reference's forward_ego_net embeds WITHOUT the map warp and
+    # WITHOUT the grid-center map PE (it calls get_mod_emb_pre with only
+    # add_posi_embedd, ref:UMGen.py:656-661) — the ego net sees the raw
+    # un-warped window.
+    # ------------------------------------------------------------------
+    def forward_ego_net(self, params, inputs) -> jnp.ndarray:
+        cfg = self.config
+        segs = []
+        for mod in self.layout.mod_order:
+            if mod == "pose":
+                feats = self.embed_pose(params, inputs["pose"])
+            elif mod == "map":
+                feats = self.embed_map(params, inputs["map"], grid_pe=False)
+            elif mod == "bbox3d":
+                feats = self.embed_bbox(params, inputs["bbox3d"],
+                                        spatial_pe=cfg.add_posi_embedd)
+            elif mod == "image":
+                feats = self.embed_image(params, inputs["image"])
+            segs.append(self.add_bos_eos(params, feats, mod))
+        emb = self.add_pos_emb(params, jnp.concatenate(segs, axis=2))
+        tar_emb = self._run_tar_stack(params, "ego_tar", "ln_ego_tar", emb)
+
+        B, T, S, D = tar_emb.shape
+        ego = jnp.broadcast_to(params["egoe"][None, None], (B, T, 3, D))
+        ego = self.add_pos_emb(params, ego)
+        ctx = tar_emb.reshape(B * T, S, D)
+        q = ego.reshape(B * T, 3, D)
+        dec = functools.partial(nn.decoder_block, n_head=cfg.n_head)
+        q = nn.apply_stack(params["ego_ca"], q, lambda p, h: dec(p, h, ctx),
+                           remat=cfg.remat)
+        q = nn.layer_norm(params["ln_ego"], q)
+        return q.reshape(B, T, 3, D)
+
+    def ego_logits(self, params, inputs) -> jnp.ndarray:
+        """Last-frame ego logits [B, 3, pose_vocab] (ref:UMGen.py:994-1005)."""
+        ego_emb = self.forward_ego_net(params, inputs)
+        return nn.linear(params["head_ego"], ego_emb[:, -1])
+
+    # ------------------------------------------------------------------
+    # TAR cascade → last-frame OAR prior (ref:UMGen.py:1479-1511)
+    # ------------------------------------------------------------------
+    def tar_priors(self, params, inputs) -> Dict[str, jnp.ndarray]:
+        """Run the full TAR cascade for one frame step.
+
+        inputs: token dict over the T-frame window WITH the pose stream
+        already shifted (ego action for the frame being generated at slot
+        T-1, ref:UMGen.py:1444-1452).
+
+        Returns dict with:
+          prior_seq   [B, seq_len, D] — per-position OAR additive prior for
+                      the LAST frame (concat of per-modality TAR embeddings
+                      with the split-TAR overrides and the warped-map
+                      residual applied)
+          pose_diff   [B, T, 3] metric ego motion
+        """
+        cfg = self.config
+        lo = self.layout
+        pose_diff = self.decode_pose(params, inputs["pose"])
+
+        # trunk TAR over all modalities (map WITH grid PE)
+        emb, _ = self._tar_input(params, inputs, lo.mod_order,
+                                 map_grid_pe=cfg.add_spatial_pos_embedd_on_map,
+                                 pose_diff=pose_diff)
+        trunk = self._run_tar_stack(params, "tar", "ln_tar", emb)
+
+        # split per-modality segments
+        seg_lens = [s.end - s.start + 1 for s in lo.segments]
+        offs = np.cumsum([0] + seg_lens)
+        tar_emb = {
+            s.mod: jax.lax.slice_in_dim(trunk, int(offs[i]), int(offs[i + 1]),
+                                        axis=2)
+            for i, s in enumerate(lo.segments)
+        }
+
+        map_warped_prior = None
+        if cfg.split_map_tar and "map" in lo.mod_order:
+            emb_m, warped_m = self._tar_input(
+                params, inputs, TASKS["pose_map"], map_grid_pe=False,
+                pose_diff=pose_diff)
+            out_m = self._run_tar_stack(params, "map_tar", "ln_map_tar",
+                                        emb_m)
+            tar_emb["map"] = out_m[:, :, 5:, :]      # pose seg is 5 long
+            # OAR warped-map prior comes from the map-TAR pass when grid PE
+            # is on (ref:UMGen.py:1502-1507)
+            map_warped_prior = warped_m
+
+        if cfg.split_box_tar and "bbox3d" in lo.mod_order:
+            emb_b, warped_b = self._tar_input(
+                params, inputs, TASKS["pose_map_bbox3d"], map_grid_pe=False,
+                pose_diff=pose_diff)
+            out_b = self._run_tar_stack(params, "box_tar", "ln_box_tar",
+                                        emb_b)
+            tar_emb["bbox3d"] = out_b[:, :, 5 + 1026:, :]
+            if not cfg.split_map_tar:
+                tar_emb["map"] = out_b[:, :, 5:5 + 1026, :]
+                map_warped_prior = warped_b
+
+        # add warped map residual to the map prior content positions
+        # (ref:UMGen.py:1508-1511)
+        if cfg.map_transform and "map" in lo.mod_order \
+                and map_warped_prior is not None:
+            m = tar_emb["map"]
+            content = m[:, :, 1:-1, :] + map_warped_prior
+            tar_emb["map"] = jnp.concatenate(
+                [m[:, :, :1, :], content, m[:, :, -1:, :]], axis=2)
+
+        prior_seq = jnp.concatenate(
+            [tar_emb[s.mod][:, -1] for s in lo.segments], axis=1)
+        return {"prior_seq": prior_seq, "pose_diff": pose_diff}
+
+    # ------------------------------------------------------------------
+    # teacher-forced training logits (new: the reference repo is
+    # inference-only; training support is part of this framework)
+    # ------------------------------------------------------------------
+    def oar_forward(self, params, oar_input) -> jnp.ndarray:
+        """Full causal OAR pass over [B, S, D] (prefill / training)."""
+        cfg = self.config
+        block = functools.partial(nn.block_oar, n_head=cfg.n_head,
+                                  attn_impl=self.attn)
+        out = nn.apply_stack(params["oar"], oar_input,
+                             lambda p, h: block(p, h), remat=cfg.remat)
+        return nn.layer_norm(params["ln_oar"], out)
+
+
+def make_model(config: ModelConfig) -> UMGen:
+    return UMGen(config)
