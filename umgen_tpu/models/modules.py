@@ -198,16 +198,16 @@ def attention_decode(p: Params, x: jnp.ndarray, n_head: int,
                      kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
                      cache_len: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Single-step causal decode with a preallocated KV ring.
+    """Causal decode step (1 or more new tokens) with a preallocated KV ring.
 
-    x: [B, 1, D] new-token activations.
+    x: [B, Q, D] new-token activations (positions cache_len..cache_len+Q-1).
     kv_cache: (k, v) each [B, S_max, H, Dh]; entries < cache_len are valid.
-    Returns (y [B, 1, D], updated cache).  The new K/V is written at
-    position `cache_len` and attended along with the prefix — equivalent to
-    the reference's concat-and-grow cache (ref:module.py:207-211) but with
-    static shapes for jit.
+    Returns (y [B, Q, D], updated cache).  New K/V are written starting at
+    `cache_len` and attended causally with the prefix — equivalent to the
+    reference's concat-and-grow cache (ref:module.py:207-211) but with
+    static shapes for jit.  Q > 1 doubles as the prefill path.
     """
-    B, _, D = x.shape
+    B, Q, D = x.shape
     qkv = linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, n_head)
@@ -225,11 +225,12 @@ def attention_decode(p: Params, x: jnp.ndarray, n_head: int,
     scale = 1.0 / math.sqrt(Dh)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
-    valid = jnp.arange(S_max)[None, None, None, :] <= cache_len
+    qpos = cache_len + jnp.arange(Q)[None, None, :, None]
+    valid = jnp.arange(S_max)[None, None, None, :] <= qpos
     logits = jnp.where(valid, logits, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     y = jnp.einsum("bhqk,bkhd->bqhd", w, cv.astype(q.dtype))
-    y = linear(p["proj"], y.reshape(B, 1, D))
+    y = linear(p["proj"], y.reshape(B, Q, D))
     return y, (ck, cv)
 
 

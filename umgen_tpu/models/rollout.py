@@ -1,0 +1,461 @@
+"""The jitted frame step: ego → TAR cascade → OAR token decode.
+
+This is the framework's core departure from the reference: the reference
+decodes the 2207-position frame with a per-token *Python* loop containing
+host round trips (pose decode on CPU, numba collision on CPU, `.item()`
+checks per bbox token, ref:UMGen.py:1209-1262 and SURVEY §3.2); here the
+whole frame — ego sampling, TAR priors, the four modality segments, control
+injection, the pad→TAR merge rule and the retroactive collision constraint —
+compiles to ONE XLA program per window size.  All shapes are static; the
+per-position modality schedule is baked in at trace time from the
+SequenceLayout.
+
+Decode-order bookkeeping (1-indexed positions after the task slot):
+  input index k carries embed(token_k) + prior_seq[k] (the task embedding at
+  k=0); sampling position p feeds input k=p-1 with KV cache holding inputs
+  0..p-2 (ref:UMGen.py:1209-1247).  Forced separators are never sampled —
+  their embeddings are pushed through the OAR only to extend the cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umgen_tpu.config import EGO_WHL, TASK_NAME_ID, ModelConfig
+from umgen_tpu.layout import SequenceLayout
+from umgen_tpu.models import modules as nn
+from umgen_tpu.models.sampling import make_sampler
+from umgen_tpu.models.umgen import UMGen
+from umgen_tpu.ops.collision import candidate_collides
+
+Params = Dict[str, Any]
+
+MAX_BOXES = 62   # ego + 60 slots + candidate headroom
+
+
+class OarState(NamedTuple):
+    """Carried state of the OAR decode within one frame."""
+    kv_k: jnp.ndarray        # [L, B, S_max, H, Dh]
+    kv_v: jnp.ndarray
+    prev_emb: jnp.ndarray    # [B, 1, D] input embedding for the next step
+    rng: jax.Array
+
+
+class FrameOutputs(NamedTuple):
+    tokens: jnp.ndarray      # [B, seq_len] full sampled/forced stream
+    pose_tokens: jnp.ndarray  # [B, 3] ego tokens used this frame
+
+
+class Rollout:
+    """Compiled per-frame generation for a fixed window length T."""
+
+    def __init__(self, model: UMGen):
+        self.model = model
+        self.config = model.config
+        self.layout = model.layout
+        cfg = self.config
+        self._samplers = {
+            "pose": make_sampler(cfg.sample_method, cfg.top_k
+                                 if cfg.sample_method == "topk" else cfg.top_p,
+                                 cfg.sfmx_temp),
+            "map": make_sampler(cfg.sample_method, cfg.top_k_map
+                                if cfg.sample_method == "topk" else cfg.top_p,
+                                cfg.sfmx_temp),
+            "bbox3d": make_sampler(cfg.sample_method, cfg.top_k
+                                   if cfg.sample_method == "topk"
+                                   else cfg.top_p, cfg.sfmx_temp),
+            # image sampling is top-k 16 regardless (ref:UMGen.py:103,1133)
+            "image": make_sampler("topk" if cfg.sample_method != "greedy"
+                                  else "greedy", cfg.top_k_image,
+                                  cfg.sfmx_temp),
+        }
+        if cfg.sample_method == "greedy":
+            self._samplers = {m: make_sampler("greedy", 0)
+                              for m in self._samplers}
+        # ego box used by the collision rule (ref:UMGen.py:1320-1336)
+        ego = EGO_WHL["nuplan"]
+        self._ego_box = np.array(
+            [0, 0, 0, ego["l"], ego["w"], ego["h"], 0, 0, 0, 0],
+            dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    # OAR plumbing
+    # ------------------------------------------------------------------
+    def init_kv(self, B: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        shape = (cfg.n_oar_layer, B, self.layout.input_len, cfg.n_head,
+                 cfg.head_dim)
+        dt = jnp.dtype(cfg.dtype)
+        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    def oar_step(self, params: Params, x: jnp.ndarray,
+                 kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                 cache_len) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Push Q new inputs through the OAR stack with the layer-scanned KV
+        cache.  Returns (ln_oar(h) [B, Q, D], kv_k, kv_v)."""
+        cfg = self.config
+
+        def body(h, layer):
+            p, k_l, v_l = layer
+            h, (k_l, v_l) = nn.block_oar_decode(p, h, cfg.n_head,
+                                                (k_l, v_l), cache_len)
+            return h, (k_l, v_l)
+
+        h, (kv_k, kv_v) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v))
+        return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
+
+    # token → next-step input embedding, per modality (no positional
+    # embeddings in the OAR stream, ref:UMGen.py:1053-1137)
+    def _embed_token(self, params: Params, mod: str,
+                     token: jnp.ndarray) -> jnp.ndarray:
+        model = self.model
+        if mod == "pose":
+            return params["buffers"]["fouier_pe"][token]
+        if mod == "map":
+            z = params["buffers"]["map_codebook"][token]
+            return nn.mlp(params["map_mlp_pre"], z)
+        if mod == "bbox3d":
+            return params["be"][token]
+        if mod == "image":
+            z = params["buffers"]["img_codebook"][token]
+            return nn.mlp(params["img_mlp_pre"], z)
+        raise ValueError(mod)
+
+    def _aux_emb(self, params: Params, aux_id: int, B: int) -> jnp.ndarray:
+        return jnp.broadcast_to(params["axe"][aux_id][None, None],
+                                (B, 1, params["axe"].shape[-1]))
+
+    # ------------------------------------------------------------------
+    # plain segment scan (map / image)
+    # ------------------------------------------------------------------
+    def _decode_plain_segment(self, params, mod, seg, state: OarState,
+                              prior_seq, head_name) -> Tuple[OarState,
+                                                             jnp.ndarray]:
+        """Sample a contiguous run of same-modality content positions."""
+        sampler = self._samplers[mod]
+        c0 = seg.content_start
+
+        def step(state: OarState, i):
+            p = c0 + i
+            h, kv_k, kv_v = self.oar_step(params, state.prev_emb,
+                                          state.kv_k, state.kv_v,
+                                          cache_len=p - 1)
+            rng, sub = jax.random.split(state.rng)
+            token = sampler(sub, nn.linear(params[head_name], h[:, -1]))
+            emb = self._embed_token(params, mod, token)[:, None, :] \
+                + jax.lax.dynamic_slice_in_dim(prior_seq, p, 1, axis=1)
+            return OarState(kv_k, kv_v, emb.astype(state.prev_emb.dtype),
+                            rng), token
+
+        state, tokens = jax.lax.scan(step, state,
+                                     jnp.arange(seg.content_len))
+        return state, tokens.T            # [B, content_len]
+
+    # ------------------------------------------------------------------
+    # bbox segment scan with merge rule / control / collision constraint
+    # ------------------------------------------------------------------
+    def _decode_bbox_segment(self, params, seg, state: OarState, prior_seq,
+                             prev_frame_bbox, tar_box_logits,
+                             control_mask) -> Tuple[OarState, jnp.ndarray]:
+        """660 bbox content positions with the reference's decode rules:
+
+        * control override: slots flagged in `control_mask` sample from the
+          TAR head with <pad> masked out (ref:UMGen.py:1083-1089)
+        * pad→TAR merge rule: if the OAR samples <pad> for an object that
+          existed last frame, resample from the TAR head
+          (ref:UMGen.py:1091-1104)
+        * no-born rule (optional, ref:UMGen.py:1106-1114)
+        * rule constraint: on each completed box (category position), decode
+          to metric, run the BEV collision test against boxes accepted so
+          far this frame (+ ego); a NEWBORN that collides — or arrives when
+          >30 boxes exist — has its 11 tokens retroactively rewritten to
+          <pad> (ref:UMGen.py:1116-1123, 1275-1383).  Matching the
+          reference, already-written KV entries are NOT recomputed; only the
+          token stream and subsequent inputs change.
+        """
+        cfg = self.config
+        lo = self.layout
+        sampler = self._samplers["bbox3d"]
+        c0 = seg.content_start
+        pad = cfg.bbox3d_vocab_size - 1          # 1027
+        B = state.prev_emb.shape[0]
+        buf = params["buffers"]
+
+        # collision buffers: slot 0 = ego box
+        boxes0 = jnp.zeros((B, MAX_BOXES, 10), jnp.float32)
+        boxes0 = boxes0.at[:, 0].set(jnp.asarray(self._ego_box))
+        valid0 = jnp.zeros((B, MAX_BOXES), bool).at[:, 0].set(True)
+        nbox0 = jnp.ones((B,), jnp.int32)        # count incl. ego
+        # window of the 11 most recent tokens (for decode-on-completion)
+        win0 = jnp.full((B, 11), pad, jnp.int32)
+
+        def decode_candidate(win):
+            """11 tokens → metric box (in-graph decode_single_objects +
+            unnormalize, ref:UMGen.py:1311-1316)."""
+            attr = jnp.clip(win[:, :10], 0, 1023)
+            vals = buf["agent_bin_mid"][attr]
+            return vals * buf["agent_span"] + buf["agent_lo"]
+
+        def step(carry, i):
+            state, boxes, bvalid, nbox, win, tokens_buf = carry
+            p = c0 + i
+            obj = i // 11
+            attr = i % 11
+            h, kv_k, kv_v = self.oar_step(params, state.prev_emb,
+                                          state.kv_k, state.kv_v,
+                                          cache_len=p - 1)
+            rng, r1, r2, r3 = jax.random.split(state.rng, 4)
+
+            logits_ar = nn.linear(params["head_ar_bbox3d"], h[:, -1])
+            tok_ar = sampler(r1, logits_ar)
+
+            prev_tok = prev_frame_bbox[:, i]     # same position, last frame
+
+            # --- control override (reference object-id quirk: //11 from the
+            # BOS position, so category tokens map to the NEXT object id) ---
+            ctrl_obj = (i + 1) // 11
+            is_ctrl = control_mask[:, ctrl_obj]
+            tar_logits = tar_box_logits[:, i]
+            tar_logits_nopad = tar_logits.at[:, -1].set(-jnp.inf)
+            tok_ctrl = sampler(r2, tar_logits_nopad)
+            token = jnp.where(is_ctrl, tok_ctrl, tok_ar)
+
+            # --- pad→TAR merge rule ---
+            if cfg.merge_ar_tar and not cfg.only_ar:
+                tok_tar = sampler(r3, tar_logits)
+                need_merge = ((token == pad) & (prev_tok != pad)
+                              & ~is_ctrl)
+                token = jnp.where(need_merge, tok_tar, token)
+
+            # --- no-born rule ---
+            if cfg.no_born:
+                newborn_pos = prev_tok == pad
+                token = jnp.where(newborn_pos, pad, token)
+
+            win = jnp.roll(win, -1, axis=1).at[:, -1].set(token)
+            tokens_buf = tokens_buf.at[:, i].set(token)
+
+            # --- rule constraint on box completion (attr == 10) ---
+            if cfg.rule_constrain:
+                def apply_constraint(args):
+                    token, win, boxes, bvalid, nbox, tokens_buf = args
+                    cand = decode_candidate(win)
+                    collide = candidate_collides(cand, boxes, bvalid)
+                    # newborn := previous frame token at this position is pad
+                    newborn = prev_tok == pad
+                    # count incl. ego + accepted + candidate
+                    too_many = (nbox + 1) > 30
+                    alive = token != pad
+                    kill = alive & newborn & (collide | too_many)
+                    keep = alive & ~kill
+                    # accept: write candidate into the buffer
+                    boxes = jnp.where(
+                        keep[:, None, None],
+                        jax.vmap(lambda b, c, n: b.at[n].set(c))(
+                            boxes, cand, nbox),
+                        boxes)
+                    bvalid = jnp.where(
+                        keep[:, None],
+                        jax.vmap(lambda v, n: v.at[n].set(True))(bvalid,
+                                                                 nbox),
+                        bvalid)
+                    nbox = nbox + keep.astype(jnp.int32)
+                    # kill: rewrite the last 11 tokens to pad
+                    pads = jnp.full((B, 11), pad, jnp.int32)
+                    start = i - 10
+                    cur = jax.lax.dynamic_slice_in_dim(tokens_buf, start,
+                                                       11, axis=1)
+                    repl = jnp.where(kill[:, None], pads, cur)
+                    tokens_buf = jax.lax.dynamic_update_slice_in_dim(
+                        tokens_buf, repl, start, axis=1)
+                    token = jnp.where(kill, pad, token)
+                    win = jnp.where(kill[:, None], pads, win)
+                    return token, win, boxes, bvalid, nbox, tokens_buf
+
+                token, win, boxes, bvalid, nbox, tokens_buf = jax.lax.cond(
+                    attr == 10, apply_constraint,
+                    lambda a: a,
+                    (token, win, boxes, bvalid, nbox, tokens_buf))
+
+            emb = self._embed_token(params, "bbox3d", token)[:, None, :] \
+                + jax.lax.dynamic_slice_in_dim(prior_seq, p, 1, axis=1)
+            new_state = OarState(kv_k, kv_v,
+                                 emb.astype(state.prev_emb.dtype), rng)
+            return (new_state, boxes, bvalid, nbox, win, tokens_buf), None
+
+        tokens_buf0 = jnp.zeros((B, seg.content_len), jnp.int32)
+        carry0 = (state, boxes0, valid0, nbox0, win0, tokens_buf0)
+        carry, _ = jax.lax.scan(step, carry0, jnp.arange(seg.content_len))
+        state, _, _, _, _, tokens_buf = carry
+        return state, tokens_buf
+
+    # ------------------------------------------------------------------
+    # teacher-forced OAR inputs (training + decode-consistency tests)
+    # ------------------------------------------------------------------
+    def oar_inputs_from_tokens(self, params: Params,
+                               frame_tokens: jnp.ndarray,
+                               prior_seq: jnp.ndarray) -> jnp.ndarray:
+        """Rebuild the full OAR input sequence from a complete token stream.
+
+        frame_tokens: [B, seq_len] including separators (1-indexed position
+        p at column p-1).  Returns [B, seq_len, D]: input index 0 is the
+        task embedding; index k >= 1 embeds token_k by its modality (aux
+        embedding at separators); every index gets + prior_seq[k].
+        The result feeds `UMGen.oar_forward` for a full causal pass whose
+        output at index p-1 predicts position p.
+        """
+        cfg = self.config
+        lo = self.layout
+        B = frame_tokens.shape[0]
+        parts = [jnp.broadcast_to(
+            params["tske"][TASK_NAME_ID[cfg.task]][None, None],
+            (B, 1, cfg.n_embd))]
+        for seg in lo.segments:
+            content = frame_tokens[:, seg.content_start - 1:seg.content_end]
+            emb = self._embed_token(params, seg.mod, content)
+            parts.append(self._aux_emb(params, seg.bos, B))
+            parts.append(emb)
+            parts.append(self._aux_emb(params, seg.eos, B))
+        full = jnp.concatenate(parts, axis=1)          # [B, 1+seq_len, D]
+        # drop the final EOS input (never consumed) and add priors
+        full = full[:, :lo.seq_len]
+        return (full + prior_seq[:, :lo.seq_len]).astype(jnp.dtype(cfg.dtype))
+
+    # ------------------------------------------------------------------
+    # full frame
+    # ------------------------------------------------------------------
+    def frame_step(self, params: Params, inputs: Dict[str, jnp.ndarray],
+                   rng: jax.Array,
+                   pose_override: Optional[jnp.ndarray] = None,
+                   control_bbox: Optional[jnp.ndarray] = None,
+                   ) -> FrameOutputs:
+        """Generate one frame.
+
+        inputs: token dict, each [B, T, seg_content_len] — the conditioning
+        window (pose NOT yet shifted; this function performs the shift,
+        ref:UMGen.py:1438-1452).
+        pose_override: [B, 3] ego tokens to force instead of sampling
+        (trajectory control, ref:UMGen.py:1441-1447).
+        control_bbox: [B, 660] init bbox tokens with -1 for free positions
+        (agent control, ref:UMGen.py:1459-1475), or None.
+        """
+        cfg = self.config
+        lo = self.layout
+        model = self.model
+        B = inputs["pose"].shape[0]
+        rng, ego_rng = jax.random.split(rng)
+
+        # ---- step 1: ego action (ref:UMGen.py:1438-1455) ----
+        if pose_override is None:
+            ego_logits = model.ego_logits(params, inputs)
+            ego_tokens = self._samplers["pose"](ego_rng, ego_logits)
+        else:
+            ego_tokens = pose_override
+        shifted = dict(inputs)
+        shifted["pose"] = jnp.concatenate(
+            [inputs["pose"], ego_tokens[:, None, :]], axis=1)[:, 1:]
+
+        # ---- control slot setup (ref:UMGen.py:1457-1475) ----
+        control_mask = jnp.zeros((B, 61), bool)
+        if control_bbox is not None:
+            valid = control_bbox != -1                       # [B, 660]
+            shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(
+                jnp.where(valid, control_bbox, shifted["bbox3d"][:, -1]))
+            obj_valid = valid.reshape(B, 60, 11).any(axis=2)
+            control_mask = control_mask.at[:, :60].set(obj_valid)
+
+        # ---- step 2: TAR cascade → per-position priors ----
+        priors = model.tar_priors(params, shifted)
+        prior_seq = priors["prior_seq"]                       # [B, 2207, D]
+        # prior at input index k is prior_seq[k] with the task slot at k=0
+        # receiving prior_seq[0] too (the reference adds the prior AFTER
+        # prepending the task embedding, so priors align with input indices,
+        # ref:UMGen.py:1215-1231); equivalently: input_prior[k] =
+        # prior_seq[k] for k < seq_len.
+        bseg = lo.segment("bbox3d")
+        tar_box_logits = nn.linear(
+            params["head_tar_bbox3d"],
+            jax.lax.slice_in_dim(prior_seq, bseg.start,
+                                 bseg.content_end, axis=1))  # [B, 660, 1028]
+
+        # ---- step 3: OAR decode ----
+        kv_k, kv_v = self.init_kv(B)
+        dt = jnp.dtype(cfg.dtype)
+
+        # prefill: [task, pose_bos, p1, p2, p3, pose_eos]
+        task_emb = jnp.broadcast_to(
+            params["tske"][TASK_NAME_ID[cfg.task]][None, None],
+            (B, 1, cfg.n_embd))
+        pose_emb = self._embed_token(params, "pose", ego_tokens)  # [B,3,D]
+        pseg = lo.segment("pose")
+        prefill = jnp.concatenate([
+            task_emb,
+            self._aux_emb(params, pseg.bos, B),
+            pose_emb,
+            self._aux_emb(params, pseg.eos, B),
+        ], axis=1).astype(dt)
+        n_pre = prefill.shape[1]                              # 6
+        prefill = prefill + prior_seq[:, :n_pre]
+        _, kv_k, kv_v = self.oar_step(params, prefill, kv_k, kv_v,
+                                      cache_len=0)
+
+        tokens = jnp.zeros((B, lo.seq_len + 1), jnp.int32)   # 1-indexed
+        # record the forced pose segment tokens
+        tokens = tokens.at[:, pseg.start].set(pseg.bos)
+        tokens = tokens.at[:, pseg.start + 1:pseg.end].set(ego_tokens)
+        tokens = tokens.at[:, pseg.end].set(pseg.eos)
+
+        # first sampled segment starts after pose; its BOS input embedding:
+        segs = [s for s in lo.segments if s.mod != "pose"]
+        state = OarState(
+            kv_k, kv_v,
+            (self._aux_emb(params, segs[0].bos, B)
+             + prior_seq[:, segs[0].start:segs[0].start + 1]).astype(dt),
+            rng)
+
+        head_for = {"map": "head_ar_map", "image": "head_ar_img",
+                    "bbox3d": "head_ar_bbox3d"}
+        for si, seg in enumerate(segs):
+            tokens = tokens.at[:, seg.start].set(seg.bos)
+            if seg.mod == "bbox3d":
+                # NB the merge rule reads the control-OVERWRITTEN previous
+                # frame (ref:_inference mutates inputs["bbox3d"][:, -1]
+                # before passing it as previous_frame_tokens,
+                # ref:UMGen.py:1464-1467,1535)
+                state, seg_tokens = self._decode_bbox_segment(
+                    params, seg, state, prior_seq,
+                    prev_frame_bbox=shifted["bbox3d"][:, -1],
+                    tar_box_logits=tar_box_logits,
+                    control_mask=control_mask)
+            else:
+                state, seg_tokens = self._decode_plain_segment(
+                    params, seg.mod, seg, state, prior_seq,
+                    head_for[seg.mod])
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, seg_tokens, seg.content_start, axis=1)
+            tokens = tokens.at[:, seg.end].set(seg.eos)
+
+            if si + 1 < len(segs):
+                nxt = segs[si + 1]
+                # push [embed(last sampled), EOS] through the OAR to extend
+                # the cache to input index seg.end, then hand the next scan
+                # its BOS input embedding
+                last_emb = state.prev_emb                      # k = seg.end-1
+                eos_emb = (self._aux_emb(params, seg.eos, B)
+                           + prior_seq[:, seg.end:seg.end + 1]).astype(dt)
+                x2 = jnp.concatenate([last_emb, eos_emb], axis=1)
+                _, kv_k, kv_v = self.oar_step(params, x2, state.kv_k,
+                                              state.kv_v,
+                                              cache_len=seg.end - 1)
+                bos_emb = (self._aux_emb(params, nxt.bos, B)
+                           + prior_seq[:, nxt.start:nxt.start + 1]
+                           ).astype(dt)
+                state = OarState(kv_k, kv_v, bos_emb, state.rng)
+
+        return FrameOutputs(tokens=tokens[:, 1:], pose_tokens=ego_tokens)

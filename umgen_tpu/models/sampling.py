@@ -1,0 +1,62 @@
+"""In-graph token sampling: top-k / top-p / temperature / greedy.
+
+The reference samples on host tensors with torch.multinomial per token
+(ref:projects/models/UMGen.py:899-974); here sampling is fused into the
+decode scan via jax.random.  Semantics match:
+
+* top-k: keep the k largest logits, softmax(T), multinomial
+  (ref:UMGen.py:899-913)
+* top-p: sort desc, zero entries where (cumsum - p_i) > p, renormalize,
+  multinomial (ref:UMGen.py:915-965 — note the reference masks with
+  ``(cumsum - probs_sort) > p`` so the first token always survives)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def top_k_sample(rng: jax.Array, logits: jnp.ndarray, k: int,
+                 temp: float = 1.0) -> jnp.ndarray:
+    """logits [..., V] → tokens [...]."""
+    lf = logits.astype(jnp.float32)
+    kth = jax.lax.top_k(lf, k)[0][..., -1:]
+    masked = jnp.where(lf < kth, -jnp.inf, lf)
+    return jax.random.categorical(rng, masked / temp, axis=-1)
+
+
+def top_p_sample(rng: jax.Array, logits: jnp.ndarray, p: float,
+                 temp: float = 1.0) -> jnp.ndarray:
+    lf = logits.astype(jnp.float32) / temp
+    probs = jax.nn.softmax(lf, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+    keep = (cum - sorted_p) <= p          # reference mask polarity
+    sorted_p = jnp.where(keep, sorted_p, 0.0)
+    # categorical over the renormalized sorted distribution
+    logp = jnp.log(sorted_p / jnp.sum(sorted_p, axis=-1, keepdims=True))
+    idx = jax.random.categorical(rng, logp, axis=-1)
+    return jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0]
+
+
+def greedy_sample(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
+    del rng
+    return jnp.argmax(logits, axis=-1)
+
+
+def make_sampler(method: str, param, temp: float = 1.0) -> Callable:
+    """→ fn(rng, logits [..., V]) -> tokens [...] (int32)."""
+    if method == "topk":
+        fn = functools.partial(top_k_sample, k=int(param), temp=temp)
+    elif method == "topp":
+        fn = functools.partial(top_p_sample, p=float(param), temp=temp)
+    elif method == "greedy":
+        fn = greedy_sample
+    else:
+        raise ValueError(f"unknown sample method {method!r}")
+    return lambda rng, logits: fn(rng, logits).astype(jnp.int32)

@@ -1,0 +1,184 @@
+"""BEV box collision tests — vectorized, in-graph.
+
+The reference compiles these with numba on host and calls them per decoded
+box inside the token loop (ref:plugin/misc/misc.py:181-311,
+ref:UMGen.py:1275-1383) — a device→host round trip per agent per frame.
+Here the same geometry (proper edge crossing OR strict containment of
+clockwise BEV rectangles) runs as fixed-shape jnp ops inside the decode
+scan; N ≤ 62 boxes make the O(N·16) test negligible on the VPU.
+
+Numpy twins (`*_np`) serve the host-side metrics path (BoxOverlap /
+collision-rate, ref:misc.py:561-736) and the tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# corners
+# ---------------------------------------------------------------------------
+def bev_corners(centers, dims, angles, xp=jnp):
+    """boxes (..., cx, cy), dims (..., l, w), yaw (...)
+    → (..., 4, 2) clockwise-from-minimal-point corners
+    (ref:misc.py:143-177).
+    """
+    base = xp.asarray([[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]],
+                      dtype=xp.float32)
+    corners = base * dims[..., None, :]
+    c, s = xp.cos(angles), xp.sin(angles)
+    # reference rotates with rot_mat^T rows [[cos, sin], [-sin, cos]]
+    # (np.array([[cos,-sin],[sin,cos]]) transposed (2,1,0) → per-box
+    # [[cos, sin], [-sin, cos]]; corners @ that)
+    rot = xp.stack([xp.stack([c, s], -1), xp.stack([-s, c], -1)], -2)
+    corners = xp.einsum("...kj,...ji->...ki", corners, rot)
+    return corners + centers[..., None, :]
+
+
+def _orient(a, b, c, xp):
+    """> 0 if c is left of segment ab (strict)."""
+    return ((c[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0])
+            - (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0]))
+
+
+def _edges(corners, xp):
+    nxt = xp.roll(corners, -1, axis=-2)
+    return corners, nxt
+
+
+def pairwise_collision(corners_a, corners_b, xp=jnp):
+    """corners_a (N, 4, 2) vs corners_b (K, 4, 2) → bool (N, K).
+
+    Collision := any pair of edges properly crosses, OR one rectangle
+    strictly contains the other (all corners strictly inside; boundary
+    contact does NOT count — matches the reference's strict inequalities,
+    ref:misc.py:236-309, so identical boxes do not self-collide).
+    """
+    a0, a1 = _edges(corners_a, xp)            # (N, 4, 2) each
+    b0, b1 = _edges(corners_b, xp)            # (K, 4, 2)
+
+    # edge crossing: A-edge (N,4) × B-edge (K,4)
+    A = a0[:, None, :, None, :]
+    B = a1[:, None, :, None, :]
+    C = b0[None, :, None, :, :]
+    D = b1[None, :, None, :, :]
+    acd = _orient(A, D, C, xp) > 0
+    bcd = _orient(B, D, C, xp) > 0
+    abc = _orient(A, B, C, xp) > 0
+    abd = _orient(A, B, D, xp) > 0
+    cross = (acd != bcd) & (abc != abd)        # proper intersection
+    cross_any = xp.any(cross, axis=(-1, -2))   # (N, K)
+
+    def contains(big, big_next, pts):
+        """All pts strictly inside clockwise polygon big → (..., ) bool.
+        Reference inner test: vec = corner_k - corner_{k+1}, negated for
+        clockwise corners, point inside iff cross < 0 for every edge
+        (ref:misc.py:267-303)."""
+        vec = -(big - big_next)                # (N, 4, 2) negated
+        # cross = vec.y * (corner.x - p.x) - vec.x * (corner.y - p.y)
+        dx = big[..., :, None, 0] - pts[..., None, :, 0]
+        dy = big[..., :, None, 1] - pts[..., None, :, 1]
+        crs = vec[..., :, None, 1] * dx - vec[..., :, None, 0] * dy
+        return xp.all(crs < 0, axis=(-1, -2))
+
+    # A contains B's corners / B contains A's corners
+    a_in = contains(corners_a[:, None], a1[:, None],
+                    corners_b[None, :, :, :])
+    b_in = contains(corners_b[None, :], b1[None, :],
+                    corners_a[:, None, :, :])
+    return cross_any | a_in | b_in
+
+
+def boxes_to_corners(bbox: "jnp.ndarray", negate_yaw: bool, xp=jnp):
+    """bbox (..., 10): x y z l w h yaw vx vy vz → BEV corners (..., 4, 2).
+
+    negate_yaw=True matches the rule-constraint path, which negates yaw
+    before cornering (ref:misc.py:609 `yaw = -bbox3d[:, 6]`)."""
+    yaw = -bbox[..., 6] if negate_yaw else bbox[..., 6]
+    return bev_corners(bbox[..., 0:2], bbox[..., 3:5], yaw, xp=xp)
+
+
+def candidate_collides(candidate: "jnp.ndarray", buffer: "jnp.ndarray",
+                       buffer_valid: "jnp.ndarray") -> "jnp.ndarray":
+    """In-graph rule-constraint check: does `candidate` (B, 10) collide with
+    any valid box in `buffer` (B, N, 10)?
+
+    Applies the reference's pre-filter dropping boxes with x >= 63 (decoded
+    <pad> rows land at x≈64, ref:misc.py:475-481) to both buffer and
+    candidate, and requires >= 2 surviving boxes (ref:misc.py:591-630).
+    Returns bool (B,).
+    """
+    cand_ok = candidate[..., 0] < 63.0
+    buf_ok = buffer_valid & (buffer[..., 0] < 63.0)
+
+    cc = boxes_to_corners(candidate, negate_yaw=True)      # (B, 4, 2)
+    bc = boxes_to_corners(buffer, negate_yaw=True)          # (B, N, 4, 2)
+
+    col = _batched_pairwise(bc, cc)
+    hit = jnp.any(col & buf_ok, axis=-1)
+    return hit & cand_ok
+
+
+def _batched_pairwise(bc: "jnp.ndarray", cc: "jnp.ndarray") -> "jnp.ndarray":
+    """bc (B, N, 4, 2) vs cc (B, 4, 2) → (B, N) via vmap-free broadcasting."""
+    import jax
+    return jax.vmap(lambda b, c: pairwise_collision(b, c[None], xp=jnp)[:, 0]
+                    )(bc, cc)
+
+
+# ---------------------------------------------------------------------------
+# host-side metrics (numpy)
+# ---------------------------------------------------------------------------
+def collision_matrix_np(boxes: np.ndarray) -> np.ndarray:
+    """(N, 10) metric boxes → (N, N) bool collision matrix (yaw as-is,
+    matching compute_overlap_count, ref:misc.py:643-695)."""
+    if len(boxes) == 0:
+        return np.zeros((0, 0), dtype=bool)
+    corners = np.asarray(
+        bev_corners(boxes[:, 0:2].astype(np.float32),
+                    boxes[:, 3:5].astype(np.float32),
+                    boxes[:, 6].astype(np.float32), xp=np))
+    mat = np.asarray(pairwise_collision(corners, corners, xp=np))
+    np.fill_diagonal(mat, False)
+    return mat
+
+
+class BoxOverlap:
+    """Collision-rate metric (ref:misc.py:561-736)."""
+
+    def __init__(self, scale: float = 1.0):
+        self.scale = scale
+        self.ratio_all = []
+        self.ratio_scenario_all = []
+
+    def reset(self):
+        self.ratio_all, self.ratio_scenario_all = [], []
+
+    def update(self, frames):
+        """frames: sequence of (N_t, 10) metric box arrays."""
+        total_n, total_c = 0, 0
+        for boxes in frames:
+            boxes = np.asarray(boxes, dtype=np.float32)
+            if boxes.size == 0:
+                self.ratio_all.append(0.0)
+                continue
+            boxes = boxes.reshape(-1, boxes.shape[-1])
+            scaled = boxes.copy()
+            scaled[:, 3:5] *= self.scale
+            mat = collision_matrix_np(scaled)
+            ncol = int((mat.any(axis=1)).sum())
+            self.ratio_all.append(ncol / len(boxes))
+            total_n += len(boxes)
+            total_c += ncol
+        if total_n:
+            self.ratio_scenario_all.append(total_c / total_n)
+
+    def average(self):
+        r = float(np.mean(self.ratio_all)) if self.ratio_all else 0.0
+        rs = (float(np.mean(self.ratio_scenario_all))
+              if self.ratio_scenario_all else 0.0)
+        return r, rs
