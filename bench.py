@@ -1,0 +1,97 @@
+"""Headline benchmark: frames/sec/chip for the UMGen_Large 30-frame rollout.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repository publishes NO numbers (BASELINE.md).
+`vs_baseline` is therefore reported against a documented analytic estimate
+of the PyTorch reference on one A100:
+
+  per frame, "larger" scale (2.4B params, batch 1):
+    TAR cascade recompute over the 20x2207 window ≈ 145 TFLOP
+      @ ~40% A100 bf16 MFU (312 TFLOP/s) ............ ≈ 1.16 s
+    OAR decode: 2202 sequential steps x 36 layers,
+      ~510 MB bf16 weight reads/step @ ~70% of 2 TB/s  ≈ 0.81 s
+    host round trips (pose decode to CPU per TAR call, numba collision +
+      .item() checks per bbox token — SURVEY §3.2) and per-token Python
+      dispatch at ~0.5 ms/token ....................... ≈ 1.1 s
+  total ≈ 3.1 s/frame → ~0.32 frames/sec.
+
+Environment knobs:
+  UMGEN_BENCH_SCALE   larger (default) | stander | debug | tiny
+  UMGEN_BENCH_FRAMES  measured frames (default 4, + 1 warmup)
+  UMGEN_BENCH_BATCH   parallel scenes (default 1)
+"""
+
+import json
+import os
+import time
+
+A100_REFERENCE_FRAMES_PER_SEC = 0.32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umgen_tpu.config import ModelConfig
+    from umgen_tpu.data.synthetic import make_token_batch
+    from umgen_tpu.models.rollout import Rollout
+    from umgen_tpu.models.umgen import UMGen
+
+    scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
+    n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "1"))
+    T = 20                      # flagship conditioning window
+
+    cfg = ModelConfig().scaled(scale)     # bf16, topk, rule constraint on
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    params = model.init_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)
+    inputs = {k: jnp.asarray(v) for k, v in raw.items()}
+    step = jax.jit(ro.frame_step)
+
+    # warmup / compile.  NB: block_until_ready is unreliable through remote
+    # TPU relays — force a device→host fetch to guarantee completion (the
+    # production harness fetches tokens every frame anyway).
+    rng = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    out = step(params, inputs, rng)
+    _ = np.asarray(out.tokens)
+    compile_s = time.perf_counter() - t0
+
+    # measured frames: feed each frame's output back as the next window
+    lat = []
+    sl = model.layout.slices()
+    for i in range(n_frames):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out = step(params, inputs, sub)
+        tokens = np.asarray(out.tokens)
+        lat.append(time.perf_counter() - t0)
+        frame = {m: tokens[:, sl[m]][:, None] for m in
+                 model.layout.mod_order}
+        inputs = {m: jnp.concatenate(
+            [inputs[m][:, 1:], jnp.asarray(frame[m])], axis=1)
+            for m in model.layout.mod_order}
+
+    lat = np.asarray(lat)
+    p50 = float(np.median(lat))
+    fps_chip = B / p50
+
+    result = {
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps_chip, 4),
+        "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}; "
+                f"p50 frame latency {p50:.3f}s; compile {compile_s:.0f}s; "
+                f"{n_frames} frames measured)",
+        "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

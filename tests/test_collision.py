@@ -1,0 +1,127 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umgen_tpu.ops.collision import (
+    BoxOverlap,
+    bev_corners,
+    boxes_to_corners,
+    candidate_collides,
+    collision_matrix_np,
+    pairwise_collision,
+)
+
+
+def _sat_overlap(c1, c2):
+    """Separating-axis oracle for convex quads (non-strict overlap)."""
+    for poly in (c1, c2):
+        for i in range(4):
+            edge = poly[(i + 1) % 4] - poly[i]
+            axis = np.array([-edge[1], edge[0]])
+            p1 = c1 @ axis
+            p2 = c2 @ axis
+            if p1.max() < p2.min() or p2.max() < p1.min():
+                return False
+    return True
+
+
+def _rand_boxes(rng, n):
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-20, 20, (n, 2))
+    boxes[:, 3] = rng.uniform(2, 6, n)     # l
+    boxes[:, 4] = rng.uniform(1, 3, n)     # w
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_pairwise_collision_matches_sat(seed):
+    rng = np.random.default_rng(seed)
+    boxes = _rand_boxes(rng, 24)
+    corners = np.asarray(bev_corners(boxes[:, 0:2], boxes[:, 3:5],
+                                     boxes[:, 6], xp=np))
+    got = np.asarray(pairwise_collision(corners, corners, xp=np))
+    for i in range(len(boxes)):
+        for j in range(len(boxes)):
+            exp = _sat_overlap(corners[i], corners[j])
+            if i == j:
+                # strict semantics: identical boxes never collide
+                assert not got[i, j]
+            else:
+                assert got[i, j] == exp, (i, j)
+
+
+def test_jnp_matches_np():
+    rng = np.random.default_rng(5)
+    boxes = _rand_boxes(rng, 12)
+    corners = bev_corners(boxes[:, 0:2], boxes[:, 3:5], boxes[:, 6], xp=np)
+    a = np.asarray(pairwise_collision(jnp.asarray(corners),
+                                      jnp.asarray(corners), xp=jnp))
+    b = np.asarray(pairwise_collision(corners, corners, xp=np))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_containment_counts_as_collision():
+    big = np.array([[0, 0, 0, 10, 10, 1, 0.3]], np.float32)
+    small = np.array([[0.5, 0.2, 0, 1, 1, 1, 1.0]], np.float32)
+    cb = np.asarray(bev_corners(big[:, 0:2], big[:, 3:5], big[:, 6], xp=np))
+    cs = np.asarray(bev_corners(small[:, 0:2], small[:, 3:5], small[:, 6],
+                                xp=np))
+    assert pairwise_collision(cb, cs, xp=np)[0, 0]
+    assert pairwise_collision(cs, cb, xp=np)[0, 0]
+
+
+def test_candidate_collides_filters():
+    # buffer: ego at origin; candidate overlapping ego → hit
+    buffer = np.zeros((1, 4, 10), np.float32)
+    buffer[0, 0] = [0, 0, 0, 5.2, 2.3, 1.8, 0, 0, 0, 0]
+    valid = np.zeros((1, 4), bool)
+    valid[0, 0] = True
+    cand = np.zeros((1, 10), np.float32)
+    cand[0] = [1.0, 0.5, 0, 4, 2, 1.5, 0.2, 0, 0, 0]
+    hit = candidate_collides(jnp.asarray(cand), jnp.asarray(buffer),
+                             jnp.asarray(valid))
+    assert bool(hit[0])
+
+    # candidate far away → no hit
+    cand2 = cand.copy()
+    cand2[0, 0:2] = [30, 30]
+    assert not bool(candidate_collides(jnp.asarray(cand2),
+                                       jnp.asarray(buffer),
+                                       jnp.asarray(valid))[0])
+
+    # candidate at x >= 63 (decoded pad) is pre-filtered → no hit
+    cand3 = cand.copy()
+    cand3[0, 0] = 63.5
+    buffer2 = buffer.copy()
+    buffer2[0, 0, 0] = 63.4
+    assert not bool(candidate_collides(jnp.asarray(cand3),
+                                       jnp.asarray(buffer),
+                                       jnp.asarray(valid))[0])
+    # buffered boxes past the filter don't count either
+    assert not bool(candidate_collides(jnp.asarray(cand),
+                                       jnp.asarray(buffer2),
+                                       jnp.asarray(valid))[0])
+
+
+def test_box_overlap_metric():
+    m = BoxOverlap()
+    frames = [np.array([
+        [0, 0, 0, 4, 2, 1.5, 0, 0, 0, 0],
+        [1, 0.3, 0, 4, 2, 1.5, 0.1, 0, 0, 0],   # overlaps the first
+        [30, 30, 0, 4, 2, 1.5, 0, 0, 0, 0],
+    ], np.float32)]
+    m.update(frames)
+    ratio, scenario = m.average()
+    np.testing.assert_allclose(ratio, 2 / 3)
+    np.testing.assert_allclose(scenario, 2 / 3)
+
+
+def test_collision_matrix_symmetric_no_diag():
+    rng = np.random.default_rng(11)
+    boxes = np.zeros((8, 10), np.float32)
+    boxes[:, 0:2] = rng.uniform(-5, 5, (8, 2))
+    boxes[:, 3] = 4; boxes[:, 4] = 2; boxes[:, 5] = 1.5
+    mat = collision_matrix_np(boxes)
+    assert not mat.diagonal().any()
+    np.testing.assert_array_equal(mat, mat.T)

@@ -1,0 +1,142 @@
+"""Multi-frame scene rollout: the outer generation loop.
+
+Rebuild of ``UMGen.inference`` (ref:projects/models/UMGen.py:1542-1671):
+slide a <= cond_frames window over the generated stream and call the jitted
+frame step once per frame.  Each distinct window length compiles once and is
+cached (video mode always runs at T=20; control mode grows 13→20).
+
+Control semantics (ref:UMGen.py:1606-1658):
+  * init pose for frame idx → forced ego action (trajectory control)
+  * init bbox3d + control_test → per-object token injection: valid slots
+    overwrite the conditioning frame and force TAR-head sampling
+  * when the init pose stream runs out, control switches off for the rest
+    of the rollout
+  * per-frame outputs: controlled modalities append their init values;
+    bbox3d under control_test appends the SAMPLED tokens
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umgen_tpu.models.rollout import Rollout
+from umgen_tpu.models.umgen import UMGen
+
+Params = Dict[str, Any]
+
+
+class Generator:
+    def __init__(self, model: UMGen, params: Params, seed: int = 0,
+                 donate_kv: bool = True):
+        self.model = model
+        self.params = params
+        self.rollout = Rollout(model)
+        self.rng = jax.random.PRNGKey(seed)
+        self._step_cache: Dict[Any, Any] = {}
+
+    def _step_fn(self, variant: str):
+        fn = self._step_cache.get(variant)
+        if fn is None:
+            if variant == "plain":
+                fn = jax.jit(lambda p, inp, rng: self.rollout.frame_step(
+                    p, inp, rng))
+            elif variant == "pose":
+                fn = jax.jit(lambda p, inp, rng, po: self.rollout.frame_step(
+                    p, inp, rng, pose_override=po))
+            elif variant == "pose_bbox":
+                fn = jax.jit(
+                    lambda p, inp, rng, po, cb: self.rollout.frame_step(
+                        p, inp, rng, pose_override=po, control_bbox=cb))
+            self._step_cache[variant] = fn
+        return fn
+
+    def generate(self,
+                 cond_tokens: Dict[str, np.ndarray],
+                 new_frames: int,
+                 cond_frames: int = 20,
+                 input_cond_frames: int = -1,
+                 init_tokens: Optional[Dict[str, np.ndarray]] = None,
+                 control_test: bool = False,
+                 progress: bool = False) -> Dict[str, np.ndarray]:
+        """cond_tokens: dict mod → [B, T0, len].  Returns dict mod →
+        [B, input_cond_frames + new_frames, len] numpy (conditioning prefix
+        + generated frames, matching the reference's out_tokens)."""
+        lo = self.model.layout
+        mods = lo.mod_order
+        if input_cond_frames == -1:
+            input_cond_frames = cond_frames
+
+        out = {m: np.asarray(cond_tokens[m][:, :input_cond_frames])
+               for m in mods}
+        cond = {m: out[m].copy() for m in mods}
+        # sanitize init tokens: image may never steer (ref:UMGen.py:1517-1524)
+        # — currently supported init modalities: pose (trajectory) and
+        # bbox3d (per-object injection)
+        init = None
+        if init_tokens is not None:
+            init = {m: np.asarray(v) for m, v in init_tokens.items()
+                    if v is not None and m in ("pose", "bbox3d")}
+            if "pose" not in init:
+                init = None
+
+        frames = range(new_frames)
+        if progress:
+            import tqdm
+            frames = tqdm.tqdm(frames, desc="rollout")
+
+        for idx in frames:
+            if cond["pose"].shape[1] > cond_frames:
+                cond = {m: v[:, -cond_frames:] for m, v in cond.items()}
+
+            pose_override = None
+            control_bbox = None
+            frame_control = False
+            if init is not None and idx < init["pose"].shape[1]:
+                pose_override = jnp.asarray(init["pose"][:, idx],
+                                            dtype=jnp.int32)
+                if control_test and "bbox3d" in init \
+                        and idx < init["bbox3d"].shape[1]:
+                    control_bbox = jnp.asarray(init["bbox3d"][:, idx],
+                                               dtype=jnp.int32)
+                frame_control = True
+            elif init is not None:
+                # init pose exhausted → control off for remaining frames
+                # (ref:UMGen.py:1613-1620)
+                init = None
+
+            self.rng, step_rng = jax.random.split(self.rng)
+            dev_inputs = {m: jnp.asarray(v, dtype=jnp.int32)
+                          for m, v in cond.items()}
+            if control_bbox is not None:
+                fn = self._step_fn("pose_bbox")
+                res = fn(self.params, dev_inputs, step_rng, pose_override,
+                         control_bbox)
+            elif pose_override is not None:
+                fn = self._step_fn("pose")
+                res = fn(self.params, dev_inputs, step_rng, pose_override)
+            else:
+                fn = self._step_fn("plain")
+                res = fn(self.params, dev_inputs, step_rng)
+
+            tokens = np.asarray(jax.device_get(res.tokens))
+            sl = lo.slices()
+            frame = {m: tokens[:, sl[m]] for m in mods}
+
+            for m in mods:
+                if frame_control and init is not None and m in init \
+                        and not (control_test and m == "bbox3d"):
+                    new = init[m][:, idx][:, None] if m != "pose" else \
+                        np.asarray(pose_override)[:, None]
+                    # (pose is the only init mod we force wholesale here)
+                    new = np.asarray(new)
+                else:
+                    new = frame[m][:, None]
+                cond[m] = np.concatenate([cond[m], new], axis=1)
+                out[m] = np.concatenate([out[m], new], axis=1)
+
+        return out

@@ -352,18 +352,17 @@ class UMGen:
     # ------------------------------------------------------------------
     # TAR cascade → last-frame OAR prior (ref:UMGen.py:1479-1511)
     # ------------------------------------------------------------------
-    def tar_priors(self, params, inputs) -> Dict[str, jnp.ndarray]:
-        """Run the full TAR cascade for one frame step.
+    def tar_cascade(self, params, inputs) -> Dict[str, jnp.ndarray]:
+        """Run the full TAR cascade over the window.
 
         inputs: token dict over the T-frame window WITH the pose stream
         already shifted (ego action for the frame being generated at slot
         T-1, ref:UMGen.py:1444-1452).
 
         Returns dict with:
-          prior_seq   [B, seq_len, D] — per-position OAR additive prior for
-                      the LAST frame (concat of per-modality TAR embeddings
+          tar_emb     {mod: [B, T, seg_len, D]} — per-frame TAR embeddings
                       with the split-TAR overrides and the warped-map
-                      residual applied)
+                      residual applied
           pose_diff   [B, T, 3] metric ego motion
         """
         cfg = self.config
@@ -417,9 +416,17 @@ class UMGen:
             tar_emb["map"] = jnp.concatenate(
                 [m[:, :, :1, :], content, m[:, :, -1:, :]], axis=2)
 
+        return {"tar_emb": tar_emb, "pose_diff": pose_diff}
+
+    def tar_priors(self, params, inputs) -> Dict[str, jnp.ndarray]:
+        """Last-frame OAR additive prior (inference path):
+        prior_seq [B, seq_len, D] = concat over modality segments of the
+        final frame's TAR embeddings (ref:UMGen.py:1227-1231)."""
+        out = self.tar_cascade(params, inputs)
         prior_seq = jnp.concatenate(
-            [tar_emb[s.mod][:, -1] for s in lo.segments], axis=1)
-        return {"prior_seq": prior_seq, "pose_diff": pose_diff}
+            [out["tar_emb"][s.mod][:, -1] for s in self.layout.segments],
+            axis=1)
+        return {"prior_seq": prior_seq, "pose_diff": out["pose_diff"]}
 
     # ------------------------------------------------------------------
     # teacher-forced training logits (new: the reference repo is

@@ -1,0 +1,184 @@
+"""CLI entry point — flag-compatible with the reference evaluate.py.
+
+Usage (mirrors ref:projects/tools/evaluate.py:28-133):
+
+    python -m umgen_tpu.tools.evaluate --infer_task video \
+        --set_num_new_frames 30 --model_scale larger \
+        --ckpt_dir data/weights/UMGen_Large.pt
+
+Differences: ``--debug`` (random weights) also accepts ``--model_scale
+debug|tiny`` for the hidden one-layer fixture (ref:infer_fun.py:147-155);
+``--synthetic_data N`` generates N synthetic scenes when no dataset is
+present; ``--batch_size`` runs batched multi-scene rollouts (new
+capability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="UMGen_Evaluation")
+    # reference flags (ref:evaluate.py:28-133)
+    p.add_argument("--pred_task", type=str, default="pose_map_bbox3d_image",
+                   help="pose_map | pose_map_bbox3d | pose_map_bbox3d_image")
+    p.add_argument("--ckpt_dir", type=str,
+                   default="data/weights/UMGen_Large.pt")
+    p.add_argument("--model_scale", type=str, default="larger",
+                   help="stander | larger | debug | tiny")
+    p.add_argument("--infer_task", type=str, default="video",
+                   help="control | video")
+    p.add_argument("--rule_constrain", type=lambda s: s not in
+                   ("0", "false", "False"), default=True)
+    p.add_argument("--set_num_new_frames", type=int, default=30)
+    p.add_argument("--spe_text", type=str, default="UMGen_Evaluating")
+    p.add_argument("--force_vis", type=bool, default=True)
+    p.add_argument("--put_text", type=bool, default=True)
+    p.add_argument("--save_video", type=lambda s: s not in
+                   ("0", "false", "False"), default=True)
+    p.add_argument("--debug", action="store_true",
+                   help="skip checkpoint loading (random weights)")
+    p.add_argument("--output_path", default="output/UMGen/")
+    p.add_argument("--map_decoder_weights_path",
+                   default="data/weights/map_vae.ckpt")
+    p.add_argument("--image_decoder_weights_path",
+                   default="data/weights/image_vae.tar")
+    p.add_argument("--launcher", type=str, choices=["torch", "mpi"],
+                   default=None, help="multi-host launcher (uses "
+                   "jax.distributed when set)")
+    # new flags
+    p.add_argument("--data_root", type=str,
+                   default="data/tokenized_origin_scenes")
+    p.add_argument("--synthetic_data", type=int, default=0,
+                   help="generate N synthetic scenes if dataset missing")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_scenes", type=int, default=-1)
+    p.add_argument("--sample_method", type=str, default="topk")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    if args.launcher is not None:
+        jax.distributed.initialize()
+
+    from umgen_tpu.config import DataConfig, InferConfig, ModelConfig
+    from umgen_tpu.data.dataset import NuPlanTokenDataset
+    from umgen_tpu.data.pipeline import ScenePipeline
+    from umgen_tpu.models.generate import Generator
+    from umgen_tpu.models.umgen import UMGen, build_buffers
+    from umgen_tpu.tools.harness import SceneRunner
+
+    cfg = ModelConfig(task=args.pred_task,
+                      rule_constrain=args.rule_constrain,
+                      sample_method=args.sample_method).scaled(
+                          args.model_scale)
+    infer_cfg = InferConfig.for_task(args.infer_task,
+                                     args.set_num_new_frames,
+                                     batch_size=args.batch_size,
+                                     seed=args.seed)
+    pipeline = ScenePipeline()
+    model = UMGen(cfg)
+
+    # ---- weights ----
+    if args.debug or not os.path.exists(args.ckpt_dir):
+        if not args.debug:
+            print(f"checkpoint {args.ckpt_dir} not found — using random "
+                  "weights (debug mode)")
+        params = model.init_params(jax.random.PRNGKey(args.seed),
+                                   buffers=build_buffers(cfg, pipeline))
+    else:
+        print("loading model from", args.ckpt_dir)
+        from umgen_tpu.runtime.torch_import import load_umgen_checkpoint
+        params = load_umgen_checkpoint(
+            args.ckpt_dir, cfg, pipeline=pipeline,
+            map_codebook_path=_maybe("projects/tokenizer/weights/"
+                                     "map_codebook.pth"),
+            img_codebook_path=_maybe("projects/tokenizer/weights/"
+                                     "img_codebook.pth"))
+
+    # ---- detokenizers ----
+    map_dec = image_dec = None
+    try:
+        from umgen_tpu.models.vq import (IMAGE_VQ, MAP_VQ, ImageDecoder,
+                                         MapDecoder)
+        if os.path.exists(args.map_decoder_weights_path):
+            from umgen_tpu.runtime.torch_import import load_vq_checkpoint
+            map_dec = MapDecoder(load_vq_checkpoint(
+                args.map_decoder_weights_path, MAP_VQ))
+        else:
+            map_dec = MapDecoder()
+        if os.path.exists(args.image_decoder_weights_path):
+            from umgen_tpu.runtime.torch_import import load_vq_checkpoint
+            image_dec = ImageDecoder(load_vq_checkpoint(
+                args.image_decoder_weights_path, IMAGE_VQ))
+        else:
+            image_dec = ImageDecoder()
+    except Exception as e:   # pragma: no cover
+        print("detokenizers unavailable:", e)
+
+    # ---- dataset ----
+    data_root = args.data_root
+    if args.infer_task == "control":
+        data_root = "data/controlled_scenes"
+    if not os.path.isdir(data_root) and args.synthetic_data > 0:
+        from umgen_tpu.data.synthetic import write_synthetic_dataset
+        data_root = os.path.join(args.output_path, "synthetic_scenes")
+        write_synthetic_dataset(data_root, n_scenes=args.synthetic_data,
+                                seed=args.seed)
+        print("generated synthetic dataset at", data_root)
+    dcfg = DataConfig(
+        data_root=(data_root,),
+        block_size=infer_cfg.num_new_frames + infer_cfg.cond_frames,
+        control_test=args.infer_task == "control")
+    dataset = NuPlanTokenDataset(dcfg, pipeline)
+    if len(dataset) == 0:
+        print(f"no scenes found under {data_root}; use --synthetic_data N")
+        return 1
+
+    gen = Generator(model, params, seed=args.seed)
+    runner = SceneRunner(gen, infer_cfg, output_path=args.output_path,
+                         pipeline=pipeline, map_decoder=map_dec,
+                         image_decoder=image_dec,
+                         save_video=args.save_video)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    n = len(dataset) if args.max_scenes < 0 else min(args.max_scenes,
+                                                     len(dataset))
+    for i in range(n):
+        batch = dataset[i]
+        if batch is None:
+            continue
+        runner.run_scene(batch, control_test=dcfg.control_test)
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    if runner.timings:
+        fps = np.mean([t["frames_per_sec"] for t in runner.timings])
+        print(f"mean throughput: {fps:.3f} frames/sec")
+    ratio, scen = runner.box_overlap.average()
+    print(f"collision rate: per-frame {ratio:.4f}, per-scenario {scen:.4f}")
+    print("Sucess")   # the reference's success marker (ref:evaluate.py:221)
+    return 0
+
+
+def _maybe(path: str) -> Optional[str]:
+    return path if os.path.exists(path) else None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

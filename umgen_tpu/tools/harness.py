@@ -1,0 +1,155 @@
+"""Scene-rollout harness: drives generation, token saving, decode and video.
+
+Rebuild of the reference Lightning harness (ref:projects/tools/model_pl.py
+``UMGen_PL``) as a plain driver: no Lightning, no device juggling (the
+reference moves the whole model to CPU during VQ decode to dodge OOM,
+ref:model_pl.py:366-368 — irrelevant here since decode is its own jitted
+program).  Keeps the observable contract: token pickles named
+``<scene>_tokens.pkl`` under ``saved_token/``, skip-if-exists resume, mp4s
+under ``video/``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from umgen_tpu.config import InferConfig
+from umgen_tpu.data.pipeline import ScenePipeline
+from umgen_tpu.models.generate import Generator
+from umgen_tpu.ops.collision import BoxOverlap
+
+
+class SceneRunner:
+    def __init__(self, generator: Generator,
+                 infer_config: InferConfig,
+                 output_path: str = "output/UMGen",
+                 pipeline: Optional[ScenePipeline] = None,
+                 map_decoder=None, image_decoder=None,
+                 save_video: bool = True):
+        self.gen = generator
+        self.cfg = infer_config
+        self.pipeline = pipeline or ScenePipeline()
+        self.map_decoder = map_decoder
+        self.image_decoder = image_decoder
+        self.save_video = save_video
+        self.output_path = output_path
+        self.token_save_path = os.path.join(output_path, "saved_token")
+        self.video_save_path = os.path.join(output_path, "video")
+        os.makedirs(self.token_save_path, exist_ok=True)
+        os.makedirs(self.video_save_path, exist_ok=True)
+        self.box_overlap = BoxOverlap()
+        self.timings = []
+
+    # ------------------------------------------------------------------
+    def run_scene(self, batch: Dict, control_test: bool = False) -> Optional[
+            Dict[str, np.ndarray]]:
+        """One scene: rollout → save → decode → video.
+
+        batch: token dict from the dataset (video mode) or a control pkl
+        dict with 'dataset_token'/'control_dict' (control mode,
+        ref:model_pl.py:132-200).
+        """
+        if control_test:
+            gt = batch["dataset_token"]
+            control = batch.get("control_dict") or {}
+            file_name = str(batch.get("scene_name", "control_scene"))
+            init = {m: np.asarray(v) for m, v in control.items()}
+            input_cond = int(batch.get("input_cond_frame",
+                                       self.cfg.input_cond_frames))
+        else:
+            gt = batch
+            control, init = {}, None
+            file_name = os.path.basename(
+                str(batch.get("file_name", "scene"))).replace(".pkl", "")
+            input_cond = self.cfg.input_cond_frames
+
+        token_path = os.path.join(self.token_save_path,
+                                  f"{file_name}_tokens.pkl")
+        if os.path.exists(token_path):
+            # skip-if-exists resume (ref:model_pl.py:215-216)
+            print(f"{file_name} has been processed")
+            return None
+
+        mods = self.gen.model.layout.mod_order
+        cond = {}
+        for m in mods:
+            arr = np.asarray(gt[m])
+            if arr.ndim == 2:
+                arr = arr[None]
+            cond[m] = arr.astype(np.int64)
+
+        if init is not None:
+            init = {m: (v[None] if v.ndim == 2 else v) for m, v in
+                    init.items()}
+            if "no_control" in file_name:
+                init, control_test = None, False
+
+        new_frames = self.cfg.num_new_frames
+        if new_frames == -1:
+            new_frames = cond["bbox3d"].shape[1] - input_cond
+
+        t0 = time.perf_counter()
+        out = self.gen.generate(cond, new_frames=new_frames,
+                                cond_frames=self.cfg.cond_frames,
+                                input_cond_frames=input_cond,
+                                init_tokens=init, control_test=control_test,
+                                progress=True)
+        dt = time.perf_counter() - t0
+        self.timings.append({"scene": file_name, "frames": new_frames,
+                             "seconds": dt,
+                             "frames_per_sec": new_frames / dt})
+
+        self.save_tokens(out, file_name)
+        decoded = self.decode_tokens(out)
+        if self.save_video:
+            self.render_video(decoded, file_name,
+                              cond_frames=input_cond)
+        return out
+
+    # ------------------------------------------------------------------
+    def save_tokens(self, out_tokens: Dict[str, np.ndarray],
+                    file_name: str):
+        path = os.path.join(self.token_save_path, f"{file_name}_tokens.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(out_tokens, f)
+
+    # ------------------------------------------------------------------
+    def decode_tokens(self, out_tokens: Dict[str, np.ndarray]) -> Dict:
+        """Token streams → metric boxes, pose values, decoded rasters
+        (ref:model_pl.py:357-457)."""
+        res: Dict = {}
+        boxes, cats, valid = self.pipeline.decode_bboxes(
+            out_tokens["bbox3d"][0])
+        res["boxes"], res["cat_ids"], res["valid"] = boxes, cats, valid
+        res["pose"] = self.pipeline.decode_pose(out_tokens["pose"][0])
+        if self.map_decoder is not None and "map" in out_tokens:
+            res["maps_rgb"] = self.map_decoder.decode(out_tokens["map"][0])
+        if self.image_decoder is not None and "image" in out_tokens:
+            res["images"] = self.image_decoder.decode(
+                out_tokens["image"][0])
+        # collision-rate metric over generated frames
+        frames = [boxes[t][valid[t]] for t in range(boxes.shape[0])]
+        self.box_overlap.update(frames)
+        return res
+
+    # ------------------------------------------------------------------
+    def render_video(self, decoded: Dict, file_name: str,
+                     cond_frames: int) -> Optional[str]:
+        try:
+            from umgen_tpu.tools.visualize import render_scene_video
+        except Exception:
+            return None
+        pose = decoded["pose"].copy()
+        pose[:, 2] = pose[:, 2] * 180.0 / np.pi
+        return render_scene_video(
+            os.path.join(self.video_save_path, f"{file_name}.mp4"),
+            decoded["boxes"], decoded["cat_ids"], decoded["valid"],
+            pose=pose,
+            maps_rgb=decoded.get("maps_rgb"),
+            images=decoded.get("images"),
+            cond_frames=cond_frames)
