@@ -133,6 +133,18 @@ def _batched_pairwise(bc: "jnp.ndarray", cc: "jnp.ndarray") -> "jnp.ndarray":
 # ---------------------------------------------------------------------------
 # host-side metrics (numpy)
 # ---------------------------------------------------------------------------
+def collision_matrix(boxes: np.ndarray) -> np.ndarray:
+    """(N, 10) metric boxes → (N, N) bool collision matrix; uses the native
+    C++ kernel when available (umgen_tpu.native), numpy otherwise."""
+    try:
+        from umgen_tpu import native
+        if native.available():
+            return native.collision_matrix(boxes)
+    except Exception:
+        pass
+    return collision_matrix_np(np.asarray(boxes, dtype=np.float32))
+
+
 def collision_matrix_np(boxes: np.ndarray) -> np.ndarray:
     """(N, 10) metric boxes → (N, N) bool collision matrix (yaw as-is,
     matching compute_overlap_count, ref:misc.py:643-695)."""
@@ -169,7 +181,7 @@ class BoxOverlap:
             boxes = boxes.reshape(-1, boxes.shape[-1])
             scaled = boxes.copy()
             scaled[:, 3:5] *= self.scale
-            mat = collision_matrix_np(scaled)
+            mat = collision_matrix(scaled)
             ncol = int((mat.any(axis=1)).sum())
             self.ratio_all.append(ncol / len(boxes))
             total_n += len(boxes)
