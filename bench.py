@@ -17,9 +17,11 @@ of the PyTorch reference on one A100:
   total ≈ 3.1 s/frame → ~0.32 frames/sec.
 
 Environment knobs:
-  UMGEN_BENCH_SCALE   larger (default) | stander | debug | tiny
-  UMGEN_BENCH_FRAMES  measured frames (default 4, + 1 warmup)
-  UMGEN_BENCH_BATCH   parallel scenes (default 1)
+  UMGEN_BENCH_SCALE     larger (default) | stander | debug | tiny
+  UMGEN_BENCH_FRAMES    measured frames (default 4, + 1 warmup)
+  UMGEN_BENCH_BATCH     parallel scenes (default 1)
+  UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
+  UMGEN_BENCH_KV_DTYPE  float8_e4m3fn (default) | bfloat16
 """
 
 import json
@@ -42,9 +44,12 @@ def main():
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
     n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
     B = int(os.environ.get("UMGEN_BENCH_BATCH", "1"))
+    tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
+    kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "float8_e4m3fn")
     T = 20                      # flagship conditioning window
 
-    cfg = ModelConfig().scaled(scale)     # bf16, topk, rule constraint on
+    cfg = ModelConfig(tar_mode=tar_mode,
+                      tar_cache_dtype=kv_dtype).scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -52,31 +57,54 @@ def main():
 
     raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)
     inputs = {k: jnp.asarray(v) for k, v in raw.items()}
-    step = jax.jit(ro.frame_step)
+    sl = model.layout.slices()
+    rng = jax.random.PRNGKey(1)
 
     # warmup / compile.  NB: block_until_ready is unreliable through remote
     # TPU relays — force a device→host fetch to guarantee completion (the
     # production harness fetches tokens every frame anyway).
-    rng = jax.random.PRNGKey(1)
+    cached = tar_mode == "temporal_cache"
     t0 = time.perf_counter()
-    out = step(params, inputs, rng)
-    _ = np.asarray(out.tokens)
+    if cached:
+        prefill = jax.jit(ro.frame_step_prefill)
+        step = jax.jit(ro.frame_step_cached)
+        cache = model.init_tar_cache(B)
+        out, cache = prefill(params, inputs, cache, rng)
+        tokens = np.asarray(out.tokens)
+        newest = {m: jnp.asarray(tokens[:, sl[m]][:, None]) for m in
+                  model.layout.mod_order}
+        # compile the steady-state step too
+        rng, sub = jax.random.split(rng)
+        out, cache = step(params, newest, cache, sub)
+        tokens = np.asarray(out.tokens)
+        newest = {m: jnp.asarray(tokens[:, sl[m]][:, None]) for m in
+                  model.layout.mod_order}
+    else:
+        step = jax.jit(ro.frame_step)
+        out = step(params, inputs, rng)
+        _ = np.asarray(out.tokens)
     compile_s = time.perf_counter() - t0
 
-    # measured frames: feed each frame's output back as the next window
+    # measured frames: feed each frame's output back in
     lat = []
-    sl = model.layout.slices()
     for i in range(n_frames):
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
-        out = step(params, inputs, sub)
+        if cached:
+            out, cache = step(params, newest, cache, sub)
+        else:
+            out = step(params, inputs, sub)
         tokens = np.asarray(out.tokens)
         lat.append(time.perf_counter() - t0)
         frame = {m: tokens[:, sl[m]][:, None] for m in
                  model.layout.mod_order}
-        inputs = {m: jnp.concatenate(
-            [inputs[m][:, 1:], jnp.asarray(frame[m])], axis=1)
-            for m in model.layout.mod_order}
+        if cached:
+            newest = {m: jnp.asarray(frame[m]) for m in
+                      model.layout.mod_order}
+        else:
+            inputs = {m: jnp.concatenate(
+                [inputs[m][:, 1:], jnp.asarray(frame[m])], axis=1)
+                for m in model.layout.mod_order}
 
     lat = np.asarray(lat)
     p50 = float(np.median(lat))
@@ -85,9 +113,9 @@ def main():
     result = {
         "metric": "frames_per_sec_per_chip",
         "value": round(fps_chip, 4),
-        "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}; "
-                f"p50 frame latency {p50:.3f}s; compile {compile_s:.0f}s; "
-                f"{n_frames} frames measured)",
+        "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
+                f"tar={tar_mode}; p50 frame latency {p50:.3f}s; compile "
+                f"{compile_s:.0f}s; {n_frames} frames measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),
     }
     print(json.dumps(result))

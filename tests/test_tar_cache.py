@@ -1,0 +1,145 @@
+"""Temporal-cache TAR fast path: equivalence with full recompute.
+
+While the conditioning window is still growing (no slide yet) and temporal
+PEs are absolute, the cached cascade must reproduce the recompute path
+EXACTLY — same embeddings, same attention sets, same RNG consumption.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umgen_tpu.config import ModelConfig
+from umgen_tpu.data.synthetic import make_token_batch
+from umgen_tpu.models import modules as nn
+from umgen_tpu.models.generate import Generator
+from umgen_tpu.models.umgen import UMGen
+
+D, H = 32, 4
+
+
+def test_block_tar_decode_matches_full():
+    key = jax.random.PRNGKey(0)
+    p = nn.init_block_tar(key, D, False, jnp.float32)
+    B, T, S, T_max = 2, 5, 6, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, S, D))
+    full = nn.block_tar(p, x, n_head=H)
+
+    kv = (jnp.zeros((B * S, T_max, H, D // H)),
+          jnp.zeros((B * S, T_max, H, D // H)))
+    for t in range(T):
+        y, kv = nn.block_tar_decode(p, x[:, t], H, kv, jnp.int32(t),
+                                    jnp.int32(t + 1))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(full[:, t]),
+                                   atol=1e-4)
+
+
+def test_block_tar_collect_kv_matches_block_tar():
+    key = jax.random.PRNGKey(2)
+    p = nn.init_block_tar(key, D, False, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 6, D))
+    a = nn.block_tar(p, x, n_head=H)
+    b, (k, v) = nn.block_tar_collect_kv(p, x, n_head=H)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert k.shape == (1 * 6, 4, H, D // H)
+
+
+def test_prefill_then_decode_matches_full():
+    """Ring prefill on T-1 frames + a cached step for frame T must equal the
+    full forward."""
+    key = jax.random.PRNGKey(4)
+    p = nn.init_block_tar(key, D, False, jnp.float32)
+    B, T, S, T_max = 1, 5, 6, 8
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, T, S, D))
+    full = nn.block_tar(p, x, n_head=H)
+
+    _, (k, v) = nn.block_tar_collect_kv(p, x[:, :T - 1], n_head=H)
+    pad = [(0, 0), (0, T_max - (T - 1)), (0, 0), (0, 0)]
+    kv = (jnp.pad(k, pad), jnp.pad(v, pad))
+    y, _ = nn.block_tar_decode(p, x[:, T - 1], H, kv, jnp.int32(T - 1),
+                               jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(full[:, T - 1]),
+                               atol=1e-4)
+
+
+def _gen_pair(sample_method):
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method=sample_method, use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_cache_dtype="float32")
+    cfg_r = ModelConfig(tar_mode="recompute", **base).scaled("tiny")
+    cfg_c = ModelConfig(tar_mode="temporal_cache", **base).scaled("tiny")
+    model_r, model_c = UMGen(cfg_r), UMGen(cfg_c)
+    params = model_r.init_params(jax.random.PRNGKey(0))
+    cond = make_token_batch(model_r.layout, T=3, B=1, seed=0, config=cfg_r)
+    out_r = Generator(model_r, params, seed=7).generate(
+        cond, new_frames=2, cond_frames=20, input_cond_frames=3)
+    out_c = Generator(model_c, params, seed=7).generate(
+        cond, new_frames=2, cond_frames=20, input_cond_frames=3)
+    return out_r, out_c
+
+
+@pytest.mark.parametrize("sample_method", ["greedy", "topk"])
+def test_cached_generation_matches_recompute(sample_method):
+    """The two paths are mathematically identical pre-slide, but different
+    matmul/reshape orders give fp32 epsilons that can flip an argmax on a
+    near-tie — demand >= 99.8% token agreement across every modality."""
+    out_r, out_c = _gen_pair(sample_method)
+    for m in out_r:
+        agree = (out_r[m] == out_c[m]).mean()
+        assert agree >= 0.998, (m, agree)
+
+
+def test_cached_priors_match_recompute_numerically():
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_cache_dtype="float32")
+    cfg = ModelConfig(tar_mode="temporal_cache", **base).scaled("tiny")
+    model = UMGen(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    cond = make_token_batch(model.layout, T=3, B=1, seed=0, config=cfg)
+    inputs = {k: jnp.asarray(v) for k, v in cond.items()}
+    # recompute prior for the window
+    pri_r = model.tar_priors(params, inputs)
+    # cached prefill prior for the same (already-shifted-semantics) window
+    cache = model.init_tar_cache(1)
+    pri_c = model.prefill_tar_caches(params, inputs, cache)
+    np.testing.assert_allclose(np.asarray(pri_c["prior_seq"]),
+                               np.asarray(pri_r["prior_seq"]),
+                               atol=2e-4)
+    # and a cached single-frame step equals recompute on the grown window
+    frame = {m: inputs[m][:, -1:] for m in model.layout.mod_order}
+    grown = {m: jnp.concatenate([inputs[m], frame[m]], axis=1)
+             for m in model.layout.mod_order}
+    pri_r2 = model.tar_priors(params, grown)
+    cache = pri_c["cache"]
+    cache["frames"] = jnp.asarray(3, jnp.int32)
+    pri_c2 = model.tar_priors_cached(params, frame, cache,
+                                     jnp.asarray(3, jnp.int32))
+    np.testing.assert_allclose(np.asarray(pri_c2["prior_seq"]),
+                               np.asarray(pri_r2["prior_seq"]),
+                               atol=2e-4)
+
+
+def test_cached_fp8_runs_and_tracks_bf16():
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_mode="temporal_cache")
+    cfg16 = ModelConfig(tar_cache_dtype="float32", **base).scaled("tiny")
+    cfg8 = ModelConfig(tar_cache_dtype="float8_e4m3fn", **base).scaled("tiny")
+    m16, m8 = UMGen(cfg16), UMGen(cfg8)
+    params = m16.init_params(jax.random.PRNGKey(0))
+    cond = make_token_batch(m16.layout, T=3, B=1, seed=0, config=cfg16)
+    out16 = Generator(m16, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    out8 = Generator(m8, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    # fp8 ring quantization perturbs logits; with random weights greedy
+    # choices are near-uniform so demand only structural sanity + majority
+    # agreement on the dominant pad structure
+    assert out8["map"].shape == out16["map"].shape
+    agree = (out8["bbox3d"][:, -1] == out16["bbox3d"][:, -1]).mean()
+    assert agree > 0.5

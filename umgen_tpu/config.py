@@ -154,7 +154,17 @@ class ModelConfig:
     #   new frame only pushes its own 2207 tokens through the TAR cascade
     #   (~20x TAR FLOP reduction). Requires rolling temporal PEs.
     tar_mode: str = "recompute"
+    # storage dtype of the TAR temporal KV rings ("bfloat16" |
+    # "float8_e4m3fn"); fp8 halves the ~10.5 GB (larger-scale, B=1) ring
+    # footprint so cache + params fit one v5e chip
+    tar_cache_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
+    # lax.scan unroll factors for the OAR decode.  TPU while-loops carry a
+    # fixed ~0.1 ms per-iteration sync cost; with 36 layers × 2202 positions
+    # that overhead alone is ~8 s/frame.  Fully unrolling the layer scan
+    # (0 = full) keeps ONE while-iteration per decoded token.
+    oar_layer_unroll: int = 0
+    oar_pos_unroll: int = 1
 
     # --- training-only ---
     dropout: float = 0.0

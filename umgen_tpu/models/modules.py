@@ -297,6 +297,99 @@ def block_oar_decode(p: Params, x: jnp.ndarray, n_head: int,
     return x, kv_cache
 
 
+def temporal_attn_decode(p: Params, x: jnp.ndarray, n_head: int,
+                         kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                         slot: jnp.ndarray, n_valid: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray,
+                                    Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One-frame temporal attention against a rolling frame ring.
+
+    x: [N, 1, D] (N = B*S folded rows); kv_cache: (k, v) each
+    [N, T_max, H, Dh] in any storage dtype (bf16/fp8).  The new frame's K/V
+    is written at ring position `slot`; the query attends every slot
+    < n_valid (ring order is irrelevant to softmax; causality holds because
+    only past frames are ever cached)."""
+    N, _, D = x.shape
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, n_head)
+    ck, cv = kv_cache
+    ck = jax.lax.dynamic_update_slice(
+        ck, _split_heads(k, n_head).astype(ck.dtype), (0, slot, 0, 0))
+    cv = jax.lax.dynamic_update_slice(
+        cv, _split_heads(v, n_head).astype(cv.dtype), (0, slot, 0, 0))
+
+    T_max = ck.shape[1]
+    Dh = D // n_head
+    scale = 1.0 / math.sqrt(Dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    valid = jnp.arange(T_max)[None, None, None, :] < n_valid
+    logits = jnp.where(valid, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    y = jnp.einsum("bhqk,bkhd->bqhd", w, cv.astype(q.dtype))
+    return linear(p["proj"], y.reshape(N, 1, D)), (ck, cv)
+
+
+def block_tar_decode(p: Params, x: jnp.ndarray, n_head: int,
+                     kv_cache, slot, n_valid, attn_impl=sdpa):
+    """BlockTAR for ONE new frame with a temporal KV ring.
+
+    x: [B, S, D] (the new frame); kv_cache: (k, v) each [B*S, T_max, H, Dh].
+    The spatial attentions are frame-local and run as usual; only the
+    temporal attention consults the ring.  This is the fast-path
+    counterpart of `block_tar` — the reference always recomputes the whole
+    window (its temporal kvcache is plumbed but always None,
+    ref:UMGen.py:666,767: `kvcache_t = [None] * n`).
+    """
+    B, S, D = x.shape
+    xs = x
+    xs = xs + attention(p["sa1"], layer_norm(p["ln1"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp1"], layer_norm(p["ln2"], xs))
+
+    xt = xs.reshape(B * S, 1, D)
+    a, kv_cache = temporal_attn_decode(p["ta"], layer_norm(p["ln3"], xt),
+                                       n_head, kv_cache, slot, n_valid)
+    xt = xt + a
+    xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
+
+    xs = xt.reshape(B, S, D)
+    xs = xs + attention(p["sa2"], layer_norm(p["ln5"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp3"], layer_norm(p["ln6"], xs))
+    return xs, kv_cache
+
+
+def block_tar_collect_kv(p: Params, x: jnp.ndarray, n_head: int,
+                         attn_impl=sdpa):
+    """Full-window BlockTAR that also returns the temporal-attention K/V for
+    cache prefill.  Numerically identical to `block_tar`."""
+    B, T, S, D = x.shape
+
+    xs = x.reshape(B * T, S, D)
+    xs = xs + attention(p["sa1"], layer_norm(p["ln1"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp1"], layer_norm(p["ln2"], xs))
+
+    xt = xs.reshape(B, T, S, D).transpose(0, 2, 1, 3).reshape(B * S, T, D)
+    h = layer_norm(p["ln3"], xt)
+    qkv = linear(p["ta"]["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    y = attn_impl(_split_heads(q, n_head), kh, vh, True)
+    xt = xt + linear(p["ta"]["proj"], y.reshape(B * S, T, D))
+    xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
+
+    xs = xt.reshape(B, S, T, D).transpose(0, 2, 1, 3).reshape(B * T, S, D)
+    xs = xs + attention(p["sa2"], layer_norm(p["ln5"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp3"], layer_norm(p["ln6"], xs))
+
+    return xs.reshape(B, T, S, D), (kh, vh)       # kv: [B*S, T, H, Dh]
+
+
 def decoder_block(p: Params, x: jnp.ndarray, ctx: jnp.ndarray,
                   n_head: int) -> jnp.ndarray:
     """Self-attn → cross-attn(queries, scene emb) → MLP over [B, S, D]

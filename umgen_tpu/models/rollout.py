@@ -107,7 +107,9 @@ class Rollout:
                                                 (k_l, v_l), cache_len)
             return h, (k_l, v_l)
 
-        h, (kv_k, kv_v) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v))
+        unroll = cfg.oar_layer_unroll or cfg.n_oar_layer
+        h, (kv_k, kv_v) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v),
+                                       unroll=unroll)
         return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
 
     # token → next-step input embedding, per modality (no positional
@@ -154,7 +156,8 @@ class Rollout:
                             rng), token
 
         state, tokens = jax.lax.scan(step, state,
-                                     jnp.arange(seg.content_len))
+                                     jnp.arange(seg.content_len),
+                                     unroll=self.config.oar_pos_unroll)
         return state, tokens.T            # [B, content_len]
 
     # ------------------------------------------------------------------
@@ -291,7 +294,8 @@ class Rollout:
 
         tokens_buf0 = jnp.zeros((B, seg.content_len), jnp.int32)
         carry0 = (state, boxes0, valid0, nbox0, win0, tokens_buf0)
-        carry, _ = jax.lax.scan(step, carry0, jnp.arange(seg.content_len))
+        carry, _ = jax.lax.scan(step, carry0, jnp.arange(seg.content_len),
+                                unroll=self.config.oar_pos_unroll)
         state, _, _, _, _, tokens_buf = carry
         return state, tokens_buf
 
@@ -372,7 +376,20 @@ class Rollout:
 
         # ---- step 2: TAR cascade → per-position priors ----
         priors = model.tar_priors(params, shifted)
-        prior_seq = priors["prior_seq"]                       # [B, 2207, D]
+        return self._finish_frame(params, priors["prior_seq"], ego_tokens,
+                                  shifted["bbox3d"][:, -1], control_mask,
+                                  rng)
+
+    def _finish_frame(self, params: Params, prior_seq: jnp.ndarray,
+                      ego_tokens: jnp.ndarray,
+                      prev_frame_bbox: jnp.ndarray,
+                      control_mask: jnp.ndarray,
+                      rng: jax.Array) -> FrameOutputs:
+        """Step 3: the OAR decode given the TAR priors (shared between the
+        recompute and temporal-cache paths)."""
+        cfg = self.config
+        lo = self.layout
+        B = prior_seq.shape[0]
         # prior at input index k is prior_seq[k] with the task slot at k=0
         # receiving prior_seq[0] too (the reference adds the prior AFTER
         # prepending the task embedding, so priors align with input indices,
@@ -430,7 +447,7 @@ class Rollout:
                 # ref:UMGen.py:1464-1467,1535)
                 state, seg_tokens = self._decode_bbox_segment(
                     params, seg, state, prior_seq,
-                    prev_frame_bbox=shifted["bbox3d"][:, -1],
+                    prev_frame_bbox=prev_frame_bbox,
                     tar_box_logits=tar_box_logits,
                     control_mask=control_mask)
             else:
@@ -459,3 +476,88 @@ class Rollout:
                 state = OarState(kv_k, kv_v, bos_emb, state.rng)
 
         return FrameOutputs(tokens=tokens[:, 1:], pose_tokens=ego_tokens)
+
+    # ------------------------------------------------------------------
+    # temporal-cache fast path
+    # ------------------------------------------------------------------
+    def _control_setup(self, frame_bbox, control_bbox, B):
+        """Apply agent-control overwrite + build the control mask
+        (ref:UMGen.py:1457-1475).  frame_bbox: [B, 660]."""
+        control_mask = jnp.zeros((B, 61), bool)
+        if control_bbox is not None:
+            valid = control_bbox != -1
+            frame_bbox = jnp.where(valid, control_bbox, frame_bbox)
+            obj_valid = valid.reshape(B, 60, 11).any(axis=2)
+            control_mask = control_mask.at[:, :60].set(obj_valid)
+        return frame_bbox, control_mask
+
+    def frame_step_prefill(self, params: Params,
+                           inputs: Dict[str, jnp.ndarray],
+                           cache: Dict, rng: jax.Array,
+                           pose_override=None, control_bbox=None):
+        """First cached-mode step: ingest the whole conditioning window
+        into the TAR rings, then decode one frame.  inputs: the raw window
+        {mod: [B, T, len]} assumed to start at absolute frame 0.
+        Returns (FrameOutputs, cache)."""
+        model = self.model
+        B, T = inputs["pose"].shape[:2]
+        rng, ego_rng = jax.random.split(rng)
+
+        ego_logits, cache = model.prefill_ego_cache(params, inputs, cache)
+        if pose_override is None:
+            ego_tokens = self._samplers["pose"](ego_rng, ego_logits)
+        else:
+            ego_tokens = pose_override
+
+        shifted = dict(inputs)
+        shifted["pose"] = jnp.concatenate(
+            [inputs["pose"], ego_tokens[:, None, :]], axis=1)[:, 1:]
+        last_bbox, control_mask = self._control_setup(
+            shifted["bbox3d"][:, -1], control_bbox, B)
+        shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(last_bbox)
+
+        pri = model.prefill_tar_caches(params, shifted, cache)
+        cache = pri["cache"]
+        cache["frames"] = jnp.asarray(T, jnp.int32)
+        out = self._finish_frame(params, pri["prior_seq"], ego_tokens,
+                                 last_bbox, control_mask, rng)
+        return out, cache
+
+    def frame_step_cached(self, params: Params,
+                          newest_frame: Dict[str, jnp.ndarray],
+                          cache: Dict, rng: jax.Array,
+                          pose_override=None, control_bbox=None):
+        """Steady-state cached step: ingest ONE new raw frame (the frame
+        generated by the previous step, pose = motion into it) and decode
+        the next frame.  newest_frame: {mod: [B, 1, len]}.
+
+        Control note: under agent control the overwritten bbox tokens are
+        baked into the rings at ingestion (the reference re-overwrites the
+        window copy each step instead, ref:UMGen.py:1464-1467) — use
+        tar_mode="recompute" when bit-faithful control replay matters.
+        Returns (FrameOutputs, cache)."""
+        model = self.model
+        B = newest_frame["pose"].shape[0]
+        abs_frame = cache["frames"]          # index of the ingested frame
+        rng, ego_rng = jax.random.split(rng)
+
+        ego_logits, cache = model.ego_logits_cached(params, newest_frame,
+                                                    cache, abs_frame)
+        if pose_override is None:
+            ego_tokens = self._samplers["pose"](ego_rng, ego_logits)
+        else:
+            ego_tokens = pose_override
+
+        last_bbox, control_mask = self._control_setup(
+            newest_frame["bbox3d"][:, 0], control_bbox, B)
+        shifted_frame = dict(newest_frame)
+        shifted_frame["pose"] = ego_tokens[:, None, :]
+        shifted_frame["bbox3d"] = last_bbox[:, None, :]
+
+        pri = model.tar_priors_cached(params, shifted_frame, cache,
+                                      abs_frame)
+        cache = pri["cache"]
+        cache["frames"] = abs_frame + 1
+        out = self._finish_frame(params, pri["prior_seq"], ego_tokens,
+                                 last_bbox, control_mask, rng)
+        return out, cache

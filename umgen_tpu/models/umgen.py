@@ -270,7 +270,9 @@ class UMGen:
     # TAR input assembly
     # ------------------------------------------------------------------
     def _tar_input(self, params, inputs, mods, *, map_grid_pe: bool,
-                   pose_diff) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+                   pose_diff, t_offset: int = 0,
+                   warp: bool = True) -> Tuple[jnp.ndarray,
+                                               Optional[jnp.ndarray]]:
         """Embed + warp + wrap + concat a TAR input sequence.
 
         Returns (emb [B, T, sum(seg_len), D], map_warped or None).
@@ -286,7 +288,7 @@ class UMGen:
             elif mod == "map":
                 feats = self.embed_map(params, inputs["map"],
                                        grid_pe=map_grid_pe)
-                if cfg.map_transform:
+                if cfg.map_transform and warp:
                     map_warped = affine_warp_map(feats, pose_diff)
                     feats = map_warped + feats
             elif mod == "bbox3d":
@@ -298,7 +300,7 @@ class UMGen:
                 raise ValueError(mod)
             segs.append(self.add_bos_eos(params, feats, mod))
         emb = jnp.concatenate(segs, axis=2)
-        return self.add_pos_emb(params, emb), map_warped
+        return self.add_pos_emb(params, emb, t_offset=t_offset), map_warped
 
     def _run_tar_stack(self, params, stack_name, ln_name, emb):
         cfg = self.config
@@ -318,25 +320,21 @@ class UMGen:
     # ------------------------------------------------------------------
     def forward_ego_net(self, params, inputs) -> jnp.ndarray:
         cfg = self.config
-        segs = []
-        for mod in self.layout.mod_order:
-            if mod == "pose":
-                feats = self.embed_pose(params, inputs["pose"])
-            elif mod == "map":
-                feats = self.embed_map(params, inputs["map"], grid_pe=False)
-            elif mod == "bbox3d":
-                feats = self.embed_bbox(params, inputs["bbox3d"],
-                                        spatial_pe=cfg.add_posi_embedd)
-            elif mod == "image":
-                feats = self.embed_image(params, inputs["image"])
-            segs.append(self.add_bos_eos(params, feats, mod))
-        emb = self.add_pos_emb(params, jnp.concatenate(segs, axis=2))
+        emb, _ = self._tar_input(params, inputs, self.layout.mod_order,
+                                 map_grid_pe=False, pose_diff=None,
+                                 warp=False)
         tar_emb = self._run_tar_stack(params, "ego_tar", "ln_ego_tar", emb)
-
         B, T, S, D = tar_emb.shape
+        return self._ego_queries(params, tar_emb.reshape(B * T, S, D),
+                                 B, T, t_offset=0)
+
+    def _ego_queries(self, params, ctx, B, T, t_offset) -> jnp.ndarray:
+        """3 learned ego queries cross-attend each frame's scene embedding
+        (ref:UMGen.py:671-687).  ctx: [B*T, S, D] → [B, T, 3, D]."""
+        cfg = self.config
+        D = ctx.shape[-1]
         ego = jnp.broadcast_to(params["egoe"][None, None], (B, T, 3, D))
-        ego = self.add_pos_emb(params, ego)
-        ctx = tar_emb.reshape(B * T, S, D)
+        ego = self.add_pos_emb(params, ego, t_offset=t_offset)
         q = ego.reshape(B * T, 3, D)
         dec = functools.partial(nn.decoder_block, n_head=cfg.n_head)
         q = nn.apply_stack(params["ego_ca"], q, lambda p, h: dec(p, h, ctx),
@@ -427,6 +425,239 @@ class UMGen:
             [out["tar_emb"][s.mod][:, -1] for s in self.layout.segments],
             axis=1)
         return {"prior_seq": prior_seq, "pose_diff": out["pose_diff"]}
+
+    # ------------------------------------------------------------------
+    # temporal-cache fast path (tar_mode="temporal_cache")
+    #
+    # The reference recomputes every TAR stack over the full 20-frame
+    # window each frame (SURVEY §7 hard-part 5: `kvcache_t` is always None,
+    # ref:UMGen.py:666,767) — ~145 TFLOP/frame at the larger scale.  TAR
+    # computation is frame-causal, so caching each layer's temporal-
+    # attention K/V in a T_max ring lets each new frame push only its own
+    # 2207 tokens through the cascade (~12 TFLOP/frame).  Semantics:
+    # identical to recompute while the window is still growing; after the
+    # window slides, cached K/V retain their historical context
+    # (StreamingLLM-style sliding window) and temporal PEs roll by absolute
+    # frame index — a documented divergence of the fast path.
+    # ------------------------------------------------------------------
+    def _stack_names(self):
+        cfg, lo = self.config, self.layout
+        names = [("tar", "ln_tar", self.layout.seq_len),
+                 ("ego_tar", "ln_ego_tar", self.layout.seq_len)]
+        if cfg.split_map_tar and "map" in lo.mod_order:
+            names.append(("map_tar", "ln_map_tar", 5 + 1026))
+        if cfg.split_box_tar and "bbox3d" in lo.mod_order:
+            names.append(("box_tar", "ln_box_tar", 5 + 1026 + 662))
+        return names
+
+    def init_tar_cache(self, B: int) -> Dict[str, Any]:
+        cfg = self.config
+        dt = jnp.dtype(cfg.tar_cache_dtype)
+        T_max = cfg.cond_frame
+        cache: Dict[str, Any] = {"frames": jnp.zeros((), jnp.int32)}
+        layer_count = {"tar": cfg.n_tar_layer, "ego_tar": cfg.n_ego_tar_layer,
+                       "map_tar": cfg.n_map_tar_layer,
+                       "box_tar": cfg.n_box_tar_layer}
+        for name, _, S in self._stack_names():
+            shape = (layer_count[name], B * S, T_max, cfg.n_head,
+                     cfg.head_dim)
+            cache[name] = (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        return cache
+
+    def _run_tar_stack_cached(self, params, stack_name, ln_name, x, kv,
+                              slot, n_valid):
+        """x: [B, S, D] new frame → ([B, S, D], updated kv)."""
+        cfg = self.config
+        kv_k, kv_v = kv
+
+        def body(h, layer):
+            p, k_l, v_l = layer
+            h, (k_l, v_l) = nn.block_tar_decode(
+                p, h, cfg.n_head, (k_l, v_l), slot, n_valid,
+                attn_impl=self.attn)
+            return h, (k_l, v_l)
+
+        h, (kv_k, kv_v) = jax.lax.scan(body, x,
+                                       (params[stack_name], kv_k, kv_v))
+        return nn.layer_norm(params[ln_name], h), (kv_k, kv_v)
+
+    def _run_tar_stack_prefill(self, params, stack_name, ln_name, emb,
+                               T_max):
+        """Full-window pass that also fills the temporal ring.
+        emb: [B, T, S, D] → ([B, T, S, D], kv rings [L, B*S, T_max, H, Dh])."""
+        cfg = self.config
+        cache_dt = jnp.dtype(cfg.tar_cache_dtype)
+
+        def body(h, p):
+            h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
+                                                attn_impl=self.attn)
+            T = k.shape[1]
+            pad = [(0, 0), (0, T_max - T), (0, 0), (0, 0)]
+            return h, (jnp.pad(k.astype(cache_dt), pad),
+                       jnp.pad(v.astype(cache_dt), pad))
+
+        h, kv = jax.lax.scan(body, emb, params[stack_name])
+        return nn.layer_norm(params[ln_name], h), kv
+
+    def tar_priors_cached(self, params, frame_inputs, cache,
+                          abs_frame) -> Dict[str, Any]:
+        """One-frame TAR cascade against the rings.
+
+        frame_inputs: {mod: [B, 1, len]} — the newest frame with the pose
+        slot holding the CURRENT action (shifted semantics).
+        abs_frame: int32 absolute index of this frame in the stream.
+        Returns {"prior_seq", "pose_diff", "cache"}.
+        """
+        cfg, lo = self.config, self.layout
+        T_max = cfg.cond_frame
+        slot = jnp.asarray(abs_frame % T_max, jnp.int32)
+        n_valid = jnp.minimum(abs_frame + 1, T_max).astype(jnp.int32)
+        pose_diff = self.decode_pose(params, frame_inputs["pose"])
+        new_cache = dict(cache)
+
+        def frame_emb(mods, grid_pe):
+            emb, warped = self._tar_input(
+                params, frame_inputs, mods, map_grid_pe=grid_pe,
+                pose_diff=pose_diff, t_offset=abs_frame)
+            return emb[:, 0], warped        # [B, S, D]
+
+        emb, _ = frame_emb(lo.mod_order,
+                           cfg.add_spatial_pos_embedd_on_map)
+        trunk, new_cache["tar"] = self._run_tar_stack_cached(
+            params, "tar", "ln_tar", emb, cache["tar"], slot, n_valid)
+
+        seg_lens = [s.end - s.start + 1 for s in lo.segments]
+        offs = np.cumsum([0] + seg_lens)
+        tar_emb = {
+            s.mod: jax.lax.slice_in_dim(trunk, int(offs[i]),
+                                        int(offs[i + 1]), axis=1)
+            for i, s in enumerate(lo.segments)
+        }
+
+        map_warped_prior = None
+        if cfg.split_map_tar and "map" in lo.mod_order:
+            emb_m, warped_m = frame_emb(TASKS["pose_map"], False)
+            out_m, new_cache["map_tar"] = self._run_tar_stack_cached(
+                params, "map_tar", "ln_map_tar", emb_m, cache["map_tar"],
+                slot, n_valid)
+            tar_emb["map"] = out_m[:, 5:, :]
+            map_warped_prior = warped_m[:, 0] if warped_m is not None \
+                else None
+
+        if cfg.split_box_tar and "bbox3d" in lo.mod_order:
+            emb_b, warped_b = frame_emb(TASKS["pose_map_bbox3d"], False)
+            out_b, new_cache["box_tar"] = self._run_tar_stack_cached(
+                params, "box_tar", "ln_box_tar", emb_b, cache["box_tar"],
+                slot, n_valid)
+            tar_emb["bbox3d"] = out_b[:, 5 + 1026:, :]
+            if not cfg.split_map_tar:
+                tar_emb["map"] = out_b[:, 5:5 + 1026, :]
+                map_warped_prior = warped_b[:, 0] if warped_b is not None \
+                    else None
+
+        if cfg.map_transform and "map" in lo.mod_order \
+                and map_warped_prior is not None:
+            m = tar_emb["map"]
+            content = m[:, 1:-1, :] + map_warped_prior
+            tar_emb["map"] = jnp.concatenate(
+                [m[:, :1, :], content, m[:, -1:, :]], axis=1)
+
+        prior_seq = jnp.concatenate(
+            [tar_emb[s.mod] for s in lo.segments], axis=1)
+        return {"prior_seq": prior_seq, "pose_diff": pose_diff,
+                "cache": new_cache}
+
+    def ego_logits_cached(self, params, frame_inputs, cache, abs_frame):
+        """Ego prediction from ONE new raw frame + the ego ring.
+        frame_inputs: {mod: [B, 1, len]} with pose = motion INTO the frame.
+        Returns (logits [B, 3, pose_vocab], cache)."""
+        cfg = self.config
+        T_max = cfg.cond_frame
+        slot = jnp.asarray(abs_frame % T_max, jnp.int32)
+        n_valid = jnp.minimum(abs_frame + 1, T_max).astype(jnp.int32)
+        emb, _ = self._tar_input(params, frame_inputs, self.layout.mod_order,
+                                 map_grid_pe=False, pose_diff=None,
+                                 warp=False, t_offset=abs_frame)
+        new_cache = dict(cache)
+        ctx, new_cache["ego_tar"] = self._run_tar_stack_cached(
+            params, "ego_tar", "ln_ego_tar", emb[:, 0], cache["ego_tar"],
+            slot, n_valid)
+        B = ctx.shape[0]
+        q = self._ego_queries(params, ctx, B, 1, t_offset=abs_frame)
+        return nn.linear(params["head_ego"], q[:, 0]), new_cache
+
+    def prefill_ego_cache(self, params, inputs, cache):
+        """Ingest the whole conditioning window into the ego ring and
+        return (last-frame logits, cache).  inputs: {mod: [B, T, len]} raw
+        (unshifted) window."""
+        cfg = self.config
+        T = inputs["pose"].shape[1]
+        emb, _ = self._tar_input(params, inputs, self.layout.mod_order,
+                                 map_grid_pe=False, pose_diff=None,
+                                 warp=False, t_offset=0)
+        new_cache = dict(cache)
+        out, new_cache["ego_tar"] = self._run_tar_stack_prefill(
+            params, "ego_tar", "ln_ego_tar", emb, cfg.cond_frame)
+        B, T, S, D = out.shape
+        q = self._ego_queries(params, out[:, -1], B, 1, t_offset=T - 1)
+        return nn.linear(params["head_ego"], q[:, 0]), new_cache
+
+    def prefill_tar_caches(self, params, shifted_inputs, cache):
+        """Ingest the shifted conditioning window into the trunk/map/box
+        rings and return ({"prior_seq", "pose_diff", "cache"}) for the last
+        frame — the cached-mode twin of `tar_priors`."""
+        cfg, lo = self.config, self.layout
+        T = shifted_inputs["pose"].shape[1]
+        T_max = cfg.cond_frame
+        pose_diff = self.decode_pose(params, shifted_inputs["pose"])
+        new_cache = dict(cache)
+
+        emb, _ = self._tar_input(params, shifted_inputs, lo.mod_order,
+                                 map_grid_pe=cfg.add_spatial_pos_embedd_on_map,
+                                 pose_diff=pose_diff, t_offset=0)
+        trunk, new_cache["tar"] = self._run_tar_stack_prefill(
+            params, "tar", "ln_tar", emb, T_max)
+
+        seg_lens = [s.end - s.start + 1 for s in lo.segments]
+        offs = np.cumsum([0] + seg_lens)
+        tar_emb = {
+            s.mod: jax.lax.slice_in_dim(trunk[:, -1], int(offs[i]),
+                                        int(offs[i + 1]), axis=1)
+            for i, s in enumerate(lo.segments)
+        }
+
+        map_warped_prior = None
+        if cfg.split_map_tar and "map" in lo.mod_order:
+            emb_m, warped_m = self._tar_input(
+                params, shifted_inputs, TASKS["pose_map"],
+                map_grid_pe=False, pose_diff=pose_diff, t_offset=0)
+            out_m, new_cache["map_tar"] = self._run_tar_stack_prefill(
+                params, "map_tar", "ln_map_tar", emb_m, T_max)
+            tar_emb["map"] = out_m[:, -1, 5:, :]
+            map_warped_prior = warped_m[:, -1]
+
+        if cfg.split_box_tar and "bbox3d" in lo.mod_order:
+            emb_b, warped_b = self._tar_input(
+                params, shifted_inputs, TASKS["pose_map_bbox3d"],
+                map_grid_pe=False, pose_diff=pose_diff, t_offset=0)
+            out_b, new_cache["box_tar"] = self._run_tar_stack_prefill(
+                params, "box_tar", "ln_box_tar", emb_b, T_max)
+            tar_emb["bbox3d"] = out_b[:, -1, 5 + 1026:, :]
+            if not cfg.split_map_tar:
+                tar_emb["map"] = out_b[:, -1, 5:5 + 1026, :]
+                map_warped_prior = warped_b[:, -1]
+
+        if cfg.map_transform and "map" in lo.mod_order \
+                and map_warped_prior is not None:
+            m = tar_emb["map"]
+            content = m[:, 1:-1, :] + map_warped_prior
+            tar_emb["map"] = jnp.concatenate(
+                [m[:, :1, :], content, m[:, -1:, :]], axis=1)
+
+        prior_seq = jnp.concatenate(
+            [tar_emb[s.mod] for s in lo.segments], axis=1)
+        return {"prior_seq": prior_seq, "pose_diff": pose_diff,
+                "cache": new_cache}
 
     # ------------------------------------------------------------------
     # teacher-forced training logits (new: the reference repo is
