@@ -49,7 +49,8 @@ def main():
     T = 20                      # flagship conditioning window
 
     cfg = ModelConfig(tar_mode=tar_mode,
-                      tar_cache_dtype=kv_dtype).scaled(scale)
+                      tar_cache_dtype=kv_dtype,
+                      oar_cache_dtype=kv_dtype).scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -67,9 +68,8 @@ def main():
     t0 = time.perf_counter()
     if cached:
         prefill = jax.jit(ro.frame_step_prefill)
-        step = jax.jit(ro.frame_step_cached)
-        cache = model.init_tar_cache(B)
-        out, cache = prefill(params, inputs, cache, rng)
+        step = jax.jit(ro.frame_step_cached, donate_argnums=(2,))
+        out, cache = prefill(params, inputs, rng)
         tokens = np.asarray(out.tokens)
         newest = {m: jnp.asarray(tokens[:, sl[m]][:, None]) for m in
                   model.layout.mod_order}

@@ -158,6 +158,10 @@ class ModelConfig:
     # "float8_e4m3fn"); fp8 halves the ~10.5 GB (larger-scale, B=1) ring
     # footprint so cache + params fit one v5e chip
     tar_cache_dtype: str = "bfloat16"
+    # storage dtype of the OAR decode KV cache; at batched rollouts the
+    # per-step prefix reads (36 layers x 6.8 MB x B) dominate — fp8 halves
+    # that traffic
+    oar_cache_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
     # lax.scan unroll factors for the OAR decode.  TPU while-loops carry a
     # fixed ~0.1 ms per-iteration sync cost; with 36 layers × 2202 positions

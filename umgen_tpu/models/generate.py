@@ -167,8 +167,11 @@ class Generator:
             if "pose" not in init:
                 init = None
 
+        # prefill creates the rings; the steady-state step donates them so
+        # input/output copies never coexist (the rings are multi-GB)
         prefill = jax.jit(self.rollout.frame_step_prefill)
-        step_fn = jax.jit(self.rollout.frame_step_cached)
+        step_fn = jax.jit(self.rollout.frame_step_cached,
+                          donate_argnums=(2,))
 
         frames = range(new_frames)
         if progress:
@@ -196,8 +199,7 @@ class Generator:
             if idx == 0:
                 dev_inputs = {m: jnp.asarray(out[m], dtype=jnp.int32)
                               for m in mods}
-                cache = self.model.init_tar_cache(out["pose"].shape[0])
-                res, cache = prefill(self.params, dev_inputs, cache,
+                res, cache = prefill(self.params, dev_inputs,
                                      step_rng, pose_override=pose_override,
                                      control_bbox=control_bbox)
             else:

@@ -91,25 +91,72 @@ class Rollout:
         cfg = self.config
         shape = (cfg.n_oar_layer, B, self.layout.input_len, cfg.n_head,
                  cfg.head_dim)
-        dt = jnp.dtype(cfg.dtype)
+        dt = jnp.dtype(cfg.oar_cache_dtype)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
     def oar_step(self, params: Params, x: jnp.ndarray,
                  kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                  cache_len) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Push Q new inputs through the OAR stack with the layer-scanned KV
-        cache.  Returns (ln_oar(h) [B, Q, D], kv_k, kv_v)."""
+        """Push Q new inputs through the OAR stack.
+
+        Deferred-write cache discipline: within the step every layer READS
+        its cache slice and attends [prefix ‖ new-block] without mutating
+        it; the 36 layers' new K/V are written back with ONE
+        dynamic_update_slice afterwards.  Per-layer in-place mutation inside
+        the (unrolled) layer loop forces XLA to materialize cache copies —
+        measured 2x step-time on v5e.
+
+        Returns (ln_oar(h) [B, Q, D], kv_k, kv_v)."""
         cfg = self.config
+        n_head = cfg.n_head
+        B, Q, D = x.shape
+        Dh = cfg.head_dim
+        scale = 1.0 / np.sqrt(Dh)
+        S_max = kv_k.shape[2]
+        kpos = jnp.arange(S_max)[None, None, None, :]
+        qpos = cache_len + jnp.arange(Q)[None, None, :, None]
+        prefix_valid = kpos < cache_len                  # [1,1,1,S]
+        self_mask = (jnp.arange(Q)[None, None, :, None]
+                     >= jnp.arange(Q)[None, None, None, :])
 
         def body(h, layer):
-            p, k_l, v_l = layer
-            h, (k_l, v_l) = nn.block_oar_decode(p, h, cfg.n_head,
-                                                (k_l, v_l), cache_len)
-            return h, (k_l, v_l)
+            p, ck, cv = layer                            # ck: [B,S,H,Dh]
+            a = nn.layer_norm(p["ln1"], h)
+            qkv = nn.linear(p["attn"]["qkv"], a)
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, Q, n_head, Dh)
+            k_new = k_new.reshape(B, Q, n_head, Dh)
+            v_new = v_new.reshape(B, Q, n_head, Dh)
+
+            lp = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+            lp = jnp.where(prefix_valid, lp, -jnp.inf)
+            ls = jnp.einsum("bqhd,bkhd->bhqk", q, k_new,
+                            preferred_element_type=jnp.float32) * scale
+            ls = jnp.where(self_mask, ls, -jnp.inf)
+
+            m = jnp.maximum(jnp.max(lp, -1, keepdims=True),
+                            jnp.max(ls, -1, keepdims=True))
+            ep = jnp.exp(lp - m)
+            es = jnp.exp(ls - m)
+            denom = (jnp.sum(ep, -1, keepdims=True)
+                     + jnp.sum(es, -1, keepdims=True))
+            wp = (ep / denom).astype(q.dtype)
+            ws = (es / denom).astype(q.dtype)
+            y = (jnp.einsum("bhqk,bkhd->bqhd", wp, cv.astype(q.dtype))
+                 + jnp.einsum("bhqk,bkhd->bqhd", ws, v_new))
+            h = h + nn.linear(p["attn"]["proj"], y.reshape(B, Q, D))
+            h = h + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], h))
+            return h, (k_new.astype(kv_k.dtype), v_new.astype(kv_v.dtype))
 
         unroll = cfg.oar_layer_unroll or cfg.n_oar_layer
-        h, (kv_k, kv_v) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v),
-                                       unroll=unroll)
+        h, (ks, vs) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v),
+                                   unroll=unroll)
+        # one deferred write of all layers' new K/V
+        kv_k = jax.lax.dynamic_update_slice(kv_k, ks, (0, 0, cache_len,
+                                                       0, 0))
+        kv_v = jax.lax.dynamic_update_slice(kv_v, vs, (0, 0, cache_len,
+                                                       0, 0))
         return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
 
     # token → next-step input embedding, per modality (no positional
@@ -493,16 +540,20 @@ class Rollout:
 
     def frame_step_prefill(self, params: Params,
                            inputs: Dict[str, jnp.ndarray],
-                           cache: Dict, rng: jax.Array,
+                           rng: jax.Array,
                            pose_override=None, control_bbox=None):
         """First cached-mode step: ingest the whole conditioning window
         into the TAR rings, then decode one frame.  inputs: the raw window
         {mod: [B, T, len]} assumed to start at absolute frame 0.
-        Returns (FrameOutputs, cache)."""
+
+        The rings are CREATED here (as the prefill scans' outputs) rather
+        than passed in — avoiding a second multi-GB ring allocation during
+        the prefill program.  Returns (FrameOutputs, cache)."""
         model = self.model
         B, T = inputs["pose"].shape[:2]
         rng, ego_rng = jax.random.split(rng)
 
+        cache: Dict = {}
         ego_logits, cache = model.prefill_ego_cache(params, inputs, cache)
         if pose_override is None:
             ego_tokens = self._samplers["pose"](ego_rng, ego_logits)
