@@ -22,6 +22,7 @@ Environment knobs:
   UMGEN_BENCH_BATCH     parallel scenes (default 1)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  float8_e4m3fn (default) | bfloat16
+  UMGEN_BENCH_W8        1 → int8 weight-only quantization of the OAR stack
 """
 
 import json
@@ -54,6 +55,9 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
+    if os.environ.get("UMGEN_BENCH_W8") == "1":
+        from umgen_tpu.runtime.quantize import quantize_params_int8
+        params = quantize_params_int8(params)
     jax.block_until_ready(params)
 
     raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)

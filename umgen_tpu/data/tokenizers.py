@@ -92,6 +92,51 @@ class DigitalBinsTokenizer:
         return ((self.bins[left] + self.bins[right]) / 2).astype(np.float32)
 
 
+class IdentityTokenizer:
+    """Pass-through codec for pre-tokenized data (offset + length handling,
+    ref:tokenizer.py:176-251)."""
+
+    def __init__(self, vocab_size: int, seq_len: int, start: int = 0,
+                 pad_to_length: Optional[int] = None):
+        self._start = start
+        self._vocab_size = vocab_size
+        self._seq_len = seq_len
+        self.pad_to_length = pad_to_length
+        self.pad_token = (start + vocab_size
+                          if pad_to_length is not None else None)
+
+    @property
+    def vocab_size(self) -> int:
+        return self._vocab_size
+
+    @property
+    def seq_len(self) -> int:
+        return self._seq_len
+
+    def encode(self, raw_tokens: Array) -> Array:
+        tokens = np.asarray(raw_tokens) + self._start
+        if self.pad_to_length is not None:
+            flat = tokens.reshape(tokens.shape[0], -1) if tokens.ndim > 1 \
+                else tokens[None]
+            if flat.shape[-1] < self.pad_to_length:
+                pad = np.full(flat.shape[:-1]
+                              + (self.pad_to_length - flat.shape[-1],),
+                              self.pad_token)
+                flat = np.concatenate([flat, pad], axis=-1)
+            tokens = flat[: , :self.pad_to_length] if tokens.ndim > 1 \
+                else flat[0, :self.pad_to_length]
+        return tokens
+
+    def decode(self, tokens: Array) -> Array:
+        tokens = np.asarray(tokens)
+        if self.pad_token is not None:
+            tokens = tokens[tokens != self.pad_token]
+        tokens = tokens - self._start
+        assert tokens.size == 0 or (tokens.min() >= 0
+                                    and tokens.max() < self._vocab_size)
+        return tokens
+
+
 class TextTokenizer:
     """Category vocabulary codec (ref:tokenizer.py:357-436)."""
 

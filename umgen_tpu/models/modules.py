@@ -133,7 +133,13 @@ def init_stack(key, n_layers: int, init_fn, *args) -> Params:
 # primitive ops
 # ---------------------------------------------------------------------------
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "wq" in p:
+        # weight-only int8: HBM stores int8 + per-output-channel scales;
+        # dequantize in VMEM (fused by XLA into the matmul read)
+        w = p["wq"].astype(x.dtype) * p["ws"].astype(x.dtype)
+    else:
+        w = p["w"]
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

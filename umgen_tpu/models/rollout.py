@@ -181,6 +181,24 @@ class Rollout:
                                 (B, 1, params["axe"].shape[-1]))
 
     # ------------------------------------------------------------------
+    # per-segment KV truncation: while decoding a segment the cache can
+    # never be longer than the segment's end position, so hand the scans a
+    # prefix slice — the map segment (1024 of 2202 steps) then reads a
+    # 1032-row cache instead of 2208, cutting its per-step HBM traffic
+    # nearly in half
+    # ------------------------------------------------------------------
+    def _sliced(self, state: OarState, kv_len: int) -> OarState:
+        return OarState(state.kv_k[:, :, :kv_len], state.kv_v[:, :, :kv_len],
+                        state.prev_emb, state.rng)
+
+    def _unsliced(self, full: OarState, part: OarState) -> OarState:
+        kv_k = jax.lax.dynamic_update_slice(full.kv_k, part.kv_k,
+                                            (0, 0, 0, 0, 0))
+        kv_v = jax.lax.dynamic_update_slice(full.kv_v, part.kv_v,
+                                            (0, 0, 0, 0, 0))
+        return OarState(kv_k, kv_v, part.prev_emb, part.rng)
+
+    # ------------------------------------------------------------------
     # plain segment scan (map / image)
     # ------------------------------------------------------------------
     def _decode_plain_segment(self, params, mod, seg, state: OarState,
@@ -487,20 +505,22 @@ class Rollout:
                     "bbox3d": "head_ar_bbox3d"}
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
+            part = self._sliced(state, seg.end)
             if seg.mod == "bbox3d":
                 # NB the merge rule reads the control-OVERWRITTEN previous
                 # frame (ref:_inference mutates inputs["bbox3d"][:, -1]
                 # before passing it as previous_frame_tokens,
                 # ref:UMGen.py:1464-1467,1535)
-                state, seg_tokens = self._decode_bbox_segment(
-                    params, seg, state, prior_seq,
+                part, seg_tokens = self._decode_bbox_segment(
+                    params, seg, part, prior_seq,
                     prev_frame_bbox=prev_frame_bbox,
                     tar_box_logits=tar_box_logits,
                     control_mask=control_mask)
             else:
-                state, seg_tokens = self._decode_plain_segment(
-                    params, seg.mod, seg, state, prior_seq,
+                part, seg_tokens = self._decode_plain_segment(
+                    params, seg.mod, seg, part, prior_seq,
                     head_for[seg.mod])
+            state = self._unsliced(state, part)
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens, seg_tokens, seg.content_start, axis=1)
             tokens = tokens.at[:, seg.end].set(seg.eos)

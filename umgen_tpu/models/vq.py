@@ -295,6 +295,48 @@ def encode_to_indices(p: Params, cfg: VQConfig, x: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# FSQ — finite scalar quantization (ref:quantize.py:230-288; present in the
+# reference's quantizer zoo though the shipped checkpoints use NormEMA)
+# ---------------------------------------------------------------------------
+class FSQ:
+    """Finite Scalar Quantizer (https://arxiv.org/abs/2309.15505 recipe)."""
+
+    def __init__(self, levels: Sequence[int]):
+        self.levels = jnp.asarray(levels, jnp.int32)
+        basis = np.concatenate(
+            [[1], np.cumprod(np.asarray(levels[:-1]))]).astype(np.int64)
+        self.basis = jnp.asarray(basis)
+        self.n_codes = int(np.prod(levels))
+
+    def _bound(self, z):
+        lv = self.levels.astype(jnp.float32)
+        half = (lv - 1) * (1 + 1e-3) / 2
+        offset = jnp.where(self.levels % 2 == 0, 0.5, 0.0)
+        shift = jnp.tan(offset / half)
+        return jnp.tanh(z + shift) * half - offset
+
+    def quantize(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(..., d) → quantized values in the same space (straight-through
+        rounding on the bounded lattice)."""
+        zb = self._bound(z)
+        q = jnp.round(zb)
+        q = zb + jax.lax.stop_gradient(q - zb)
+        half_width = self.levels.astype(jnp.float32) // 2
+        return q / half_width
+
+    def codes_to_indices(self, zhat: jnp.ndarray) -> jnp.ndarray:
+        half_width = self.levels.astype(jnp.float32) // 2
+        centered = zhat * half_width + half_width
+        return jnp.sum(centered.astype(jnp.int64) * self.basis,
+                       axis=-1).astype(jnp.int32)
+
+    def indices_to_codes(self, idx: jnp.ndarray) -> jnp.ndarray:
+        half_width = self.levels.astype(jnp.float32) // 2
+        codes = (idx[..., None] // self.basis) % self.levels
+        return (codes.astype(jnp.float32) - half_width) / half_width
+
+
+# ---------------------------------------------------------------------------
 # detokenizer front-ends (ref:tools/decode_map.py:110-183)
 # ---------------------------------------------------------------------------
 def to_rgb(x: jnp.ndarray, seed: int = 0) -> jnp.ndarray:

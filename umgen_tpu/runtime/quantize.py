@@ -1,0 +1,58 @@
+"""Weight-only int8 quantization for decode-bound stacks.
+
+The OAR decode streams ~510 MB of bf16 weights per token step at the larger
+scale — the hard bandwidth floor of sequential decoding.  Per-output-channel
+symmetric int8 halves that traffic; dequantization happens in VMEM and fuses
+into the matmul.  Applied selectively (default: the OAR stack and the AR
+heads) so the TAR cascade — matmul-throughput-bound, not weight-bound —
+stays bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _quantize_linear(p: Params) -> Params:
+    """{"w": [..., in, out], "b"?} → {"wq": int8, "ws": scales, "b"?}."""
+    w = np.asarray(p["w"], dtype=np.float32)
+    amax = np.max(np.abs(w), axis=-2, keepdims=True)       # per out channel
+    scale = np.maximum(amax / 127.0, 1e-8)
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    out = {"wq": jnp.asarray(wq),
+           "ws": jnp.asarray(np.squeeze(scale, axis=-2), jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_params_int8(params: Params,
+                         keys: Iterable[str] = ("oar", "head_ar_map",
+                                                "head_ar_img",
+                                                "head_ar_bbox3d",
+                                                "head_ar_pose",
+                                                "head_ar_aux")) -> Params:
+    """Return params with the selected subtrees' linear weights in int8."""
+    LINEAR_NAMES = {"qkv", "proj", "fc", "q", "k", "v"}
+    out = dict(params)
+    for key in keys:
+        if key not in params:
+            continue
+        sub = params[key]
+
+        def walk(t, name):
+            if isinstance(t, dict):
+                if "w" in t and (name in LINEAR_NAMES
+                                 or name.startswith("head_")):
+                    return _quantize_linear(t)
+                return {k: walk(v, k) for k, v in t.items()}
+            return t
+
+        out[key] = walk(sub, key)
+    return out
