@@ -99,6 +99,44 @@ def write_synthetic_dataset(out_dir: str, n_scenes: int = 2,
     return out_dir
 
 
+def make_control_scene(layout, cond_frames: int = 13, new_frames: int = 30,
+                       seed: int = 0, control_slot: int = 0) -> Dict:
+    """Synthetic control-mode pkl: conditioning tokens + a forced ego
+    trajectory and one controlled agent slot (the reference's
+    controlled_scenes schema consumed by the harness,
+    ref:tools/model_pl.py:132-170)."""
+    rng = np.random.default_rng(seed)
+    cond = make_token_batch(layout, T=cond_frames, B=1, seed=seed)
+    dataset_token = {m: v[0] for m, v in cond.items()}
+
+    # forced trajectory: steady forward motion tokens near bin center
+    pose = np.full((new_frames, 3), 512, np.int64)
+    pose[:, 0] = 560          # dx slightly positive
+    # controlled agent: slot `control_slot` forced, everything else free
+    bbox = np.full((new_frames, 660), -1, np.int64)
+    tok = rng.integers(100, 900, size=(new_frames, 11))
+    tok[:, 10] = 1024         # vehicle
+    bbox[:, control_slot * 11:(control_slot + 1) * 11] = tok
+    return {
+        "dataset_token": dataset_token,
+        "control_dict": {"pose": pose, "bbox3d": bbox},
+        "scene_name": f"synthetic_control_{seed}",
+        "control_object": control_slot,
+        "input_cond_frame": cond_frames,
+    }
+
+
+def write_control_scenes(out_dir: str, layout, n_scenes: int = 1,
+                         seed: int = 0) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_scenes):
+        scene = make_control_scene(layout, seed=seed + i)
+        with open(os.path.join(out_dir,
+                               f"control_scene_{i:03d}.pkl"), "wb") as f:
+            pickle.dump(scene, f)
+    return out_dir
+
+
 def make_token_batch(layout, T: int = 20, B: int = 1, seed: int = 0,
                      config=None) -> Dict[str, np.ndarray]:
     """Random-but-valid token dict for model smoke tests (window of T cond

@@ -352,6 +352,34 @@ def to_rgb(x: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
     return 2.0 * (y - lo) / (hi - lo) - 1.0
 
 
+class NormVQTokenizer:
+    """Image/raster ↔ VQ-token codec — the encode-path API the reference
+    promises (ref:tokenizer/base.py QuantizedToken + vq_tokenizer.py
+    NormVQModelTokenizer).
+
+    encode: [N, H, W, C] in [-1, 1] → indices [N, h, w]
+    decode: indices → reconstruction [N, H, W, C]
+    """
+
+    def __init__(self, cfg: VQConfig, params: Optional[Params] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.params = params or init_normvq(jax.random.PRNGKey(seed), cfg)
+        self._encode = jax.jit(functools.partial(encode_to_indices,
+                                                 self.params, cfg))
+        self._decode = jax.jit(functools.partial(decode_code, self.params,
+                                                 cfg))
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self._encode(jnp.asarray(images)))
+
+    def decode(self, indices: np.ndarray) -> np.ndarray:
+        return np.asarray(self._decode(jnp.asarray(indices)))
+
+    def roundtrip(self, images: np.ndarray) -> np.ndarray:
+        return self.decode(self.encode(images))
+
+
 class MapDecoder:
     """map tokens (T, 1024) → RGB rasters (T, 256, 256, 3) in [-1, 1]."""
 

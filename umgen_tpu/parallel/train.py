@@ -78,8 +78,10 @@ class UMGenTrainer:
         self.model = model
         self.rollout = Rollout(model)
         self.layout = model.layout
+        warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, total_steps,
+            0.0, learning_rate, warmup_steps,
+            max(total_steps, warmup_steps + 1),
             end_value=learning_rate * 0.1)
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),

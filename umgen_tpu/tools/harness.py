@@ -22,6 +22,7 @@ from umgen_tpu.config import InferConfig
 from umgen_tpu.data.pipeline import ScenePipeline
 from umgen_tpu.models.generate import Generator
 from umgen_tpu.ops.collision import BoxOverlap
+from umgen_tpu.ops.metrics import MMDMetric
 
 
 class SceneRunner:
@@ -43,6 +44,7 @@ class SceneRunner:
         os.makedirs(self.token_save_path, exist_ok=True)
         os.makedirs(self.video_save_path, exist_ok=True)
         self.box_overlap = BoxOverlap()
+        self.mmd = MMDMetric()
         self.timings = []
 
     # ------------------------------------------------------------------
@@ -105,7 +107,33 @@ class SceneRunner:
                              "frames_per_sec": new_frames / dt})
 
         self.save_tokens(out, file_name)
-        decoded = self.decode_tokens(out)
+        try:
+            decoded = self.decode_tokens(out)
+        except Exception as e:
+            # journal scenes whose decode failed so they can be re-decoded
+            # offline (the reference's undecoded_token.txt,
+            # ref:model_pl.py:343-348)
+            with open(os.path.join(self.token_save_path,
+                                   "undecoded_token.txt"), "a") as f:
+                f.write(file_name + "\n")
+            print(f"decode failed for {file_name}: {e}")
+            return out
+        # MMD between generated frames and the GT continuation when the
+        # clip is long enough (the paper's agent-realism metric)
+        gt_bbox = np.asarray(gt["bbox3d"])
+        if gt_bbox.ndim == 2:
+            gt_bbox = gt_bbox[None]
+        if gt_bbox.shape[1] > input_cond:
+            gt_boxes, gt_cats, gt_valid = self.pipeline.decode_bboxes(
+                gt_bbox[0, input_cond:])
+            pb, pc, pv = (decoded["boxes"][input_cond:],
+                          decoded["cat_ids"][input_cond:],
+                          decoded["valid"][input_cond:])
+            n = min(len(gt_boxes), len(pb))
+            if n > 0:
+                self.mmd.update(pb[:n][pv[:n]], pc[:n][pv[:n]],
+                                gt_boxes[:n][gt_valid[:n]],
+                                gt_cats[:n][gt_valid[:n]])
         if self.save_video:
             self.render_video(decoded, file_name,
                               cond_frames=input_cond)

@@ -1,0 +1,132 @@
+"""Training driver — the capability the public reference lacks.
+
+Teacher-forced next-scene training over a (dp, tp) mesh with orbax
+checkpointing:
+
+    python -m umgen_tpu.tools.train --model_scale tiny --steps 100 \
+        --synthetic_data 4 --dp 4 --tp 2
+
+Real data uses the same pkl clips as evaluation (--data_root).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+def batch_iterator(dataset, batch_size: int, window: int,
+                   seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Random clip windows → stacked training batches."""
+    rng = np.random.default_rng(seed)
+    mods = ("pose", "map", "bbox3d", "image")
+    while True:
+        batch = {m: [] for m in mods}
+        for _ in range(batch_size):
+            scene = dataset[int(rng.integers(len(dataset)))]
+            T = scene["pose"].shape[0]
+            t0 = int(rng.integers(0, max(T - window, 1)))
+            for m in mods:
+                batch[m].append(np.asarray(scene[m][t0:t0 + window]))
+        yield {m: np.stack(v).astype(np.int32) for m, v in batch.items()}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_scale", default="tiny")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--window", type=int, default=4,
+                   help="frames per training clip window")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--data_root", default="data/tokenized_origin_scenes")
+    p.add_argument("--synthetic_data", type=int, default=0)
+    p.add_argument("--ckpt_dir", default="output/train_ckpt")
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from umgen_tpu.config import DataConfig, ModelConfig
+    from umgen_tpu.data.dataset import NuPlanTokenDataset
+    from umgen_tpu.models.umgen import UMGen
+    from umgen_tpu.parallel.mesh import make_mesh
+    from umgen_tpu.parallel.train import UMGenTrainer
+    from umgen_tpu.runtime import checkpoint as ckpt
+
+    data_root = args.data_root
+    if not os.path.isdir(data_root) and args.synthetic_data > 0:
+        from umgen_tpu.data.synthetic import write_synthetic_dataset
+        data_root = os.path.join(args.ckpt_dir, "synthetic")
+        write_synthetic_dataset(data_root, n_scenes=args.synthetic_data,
+                                seed=args.seed)
+    dataset = NuPlanTokenDataset(DataConfig(
+        data_root=(data_root,), block_size=args.window + 2))
+    if len(dataset) == 0:
+        print("no training scenes; use --synthetic_data N")
+        return 1
+
+    cfg = ModelConfig(remat=args.remat,
+                      use_pallas_attention=False).scaled(args.model_scale)
+    model = UMGen(cfg)
+    trainer = UMGenTrainer(model, learning_rate=args.lr,
+                           total_steps=args.steps)
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    state = trainer.init_state(params)
+    if args.resume:
+        state = ckpt.load_train_state(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        step_fn, place = trainer.jit_train_step(mesh)
+    else:
+        step_fn = trainer.jit_train_step()
+        place = None
+
+    it = batch_iterator(dataset, args.batch_size, args.window, args.seed)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        rng, sub = jax.random.split(rng)
+        if mesh is not None:
+            with mesh:
+                if i == 0:
+                    state, batch = place(state, batch, None)
+                state, metrics = step_fn(state, batch, sub)
+        else:
+            state, metrics = step_fn(state, batch, sub)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            print(f"step {i + 1}/{args.steps} loss={m['loss']:.4f} "
+                  f"(ego {m['ego_loss']:.3f} tar {m['tar_loss']:.3f} "
+                  f"oar {m['oar_loss']:.3f}) "
+                  f"gnorm={m['grad_norm']:.2f} {dt:.1f}s")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            path = os.path.join(args.ckpt_dir, f"step_{i + 1:07d}")
+            ckpt.save_train_state(path, state)
+            print("saved", path)
+
+    final = os.path.join(args.ckpt_dir, "final")
+    ckpt.save_train_state(final, state)
+    print("saved", final)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
