@@ -1,0 +1,90 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umgen_tpu.config import ModelConfig
+from umgen_tpu.data.synthetic import make_token_batch
+from umgen_tpu.models.generate import Generator
+from umgen_tpu.models.rollout import Rollout
+from umgen_tpu.models.umgen import UMGen
+from umgen_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    param_sharding,
+    shard_batch,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    cfg = ModelConfig(dtype="float32", param_dtype="float32",
+                      sample_method="greedy", use_pallas_attention=False,
+                      rule_constrain=False, merge_ar_tar=False
+                      ).scaled("tiny")
+    model = UMGen(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_param_specs_divide_shapes(setup):
+    cfg, model, params = setup
+    mesh = make_mesh(dp=4, tp=2)
+    shardings = param_sharding(params, mesh)
+
+    def check(path, arr, sh):
+        spec = sh.spec
+        for dim, axis in enumerate(spec):
+            if axis == "tp":
+                assert arr.shape[dim] % 2 == 0, (path, arr.shape, spec)
+
+    from umgen_tpu.parallel.mesh import _tree_paths
+    flat_p = dict(_tree_paths(params))
+    flat_s = dict(_tree_paths(shardings))
+    # qkv column-parallel, proj row-parallel
+    assert flat_s["oar/attn/qkv/w"].spec[-1] == "tp"
+    assert flat_s["oar/attn/proj/w"].spec[-2] == "tp"
+    assert flat_s["head_ar_map/w"].spec[-1] == "tp"
+    for path, arr in flat_p.items():
+        check(path, arr, flat_s[path])
+
+
+def test_sharded_frame_step_matches_unsharded(setup):
+    """The whole inference frame step under dp=2, tp=2: GSPMD must insert
+    the collectives and reproduce the single-device result exactly (greedy,
+    fp32)."""
+    cfg, model, params = setup
+    ro = Rollout(model)
+    raw = make_token_batch(model.layout, T=2, B=2, seed=0, config=cfg)
+    inputs = {k: jnp.asarray(v) for k, v in raw.items()}
+    rng = jax.random.PRNGKey(5)
+
+    ref = jax.jit(ro.frame_step)(params, inputs, rng)
+    ref_tokens = np.asarray(ref.tokens)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        sb = shard_batch(inputs, mesh)
+        out = jax.jit(ro.frame_step)(sp, sb, rng)
+        got = np.asarray(out.tokens)
+
+    agree = (got == ref_tokens).mean()
+    # greedy argmax can tie-break differently under resharded reductions;
+    # demand near-exact agreement
+    assert agree >= 0.995, agree
+
+
+def test_generator_with_sharded_params(setup):
+    cfg, model, params = setup
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        gen = Generator(model, sp, seed=0)
+        cond = make_token_batch(model.layout, T=2, B=1, seed=1, config=cfg)
+        out = gen.generate(cond, new_frames=1, cond_frames=2)
+    assert out["pose"].shape == (1, 3, 3)
