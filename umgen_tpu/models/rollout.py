@@ -207,21 +207,26 @@ class Rollout:
         """Sample a contiguous run of same-modality content positions."""
         sampler = self._samplers[mod]
         c0 = seg.content_start
+        # pre-split one key per position (scan xs) — a per-step
+        # jax.random.split inside the loop costs a threefry launch
+        rng, seg_rng = jax.random.split(state.rng)
+        keys = jax.random.split(seg_rng, seg.content_len)
+        state = state._replace(rng=rng)
 
-        def step(state: OarState, i):
+        def step(state: OarState, xs):
+            i, key = xs
             p = c0 + i
             h, kv_k, kv_v = self.oar_step(params, state.prev_emb,
                                           state.kv_k, state.kv_v,
                                           cache_len=p - 1)
-            rng, sub = jax.random.split(state.rng)
-            token = sampler(sub, nn.linear(params[head_name], h[:, -1]))
+            token = sampler(key, nn.linear(params[head_name], h[:, -1]))
             emb = self._embed_token(params, mod, token)[:, None, :] \
                 + jax.lax.dynamic_slice_in_dim(prior_seq, p, 1, axis=1)
             return OarState(kv_k, kv_v, emb.astype(state.prev_emb.dtype),
-                            rng), token
+                            state.rng), token
 
         state, tokens = jax.lax.scan(step, state,
-                                     jnp.arange(seg.content_len),
+                                     (jnp.arange(seg.content_len), keys),
                                      unroll=self.config.oar_pos_unroll)
         return state, tokens.T            # [B, content_len]
 
@@ -270,7 +275,14 @@ class Rollout:
             vals = buf["agent_bin_mid"][attr]
             return vals * buf["agent_span"] + buf["agent_lo"]
 
-        def step(carry, i):
+        rng, seg_rng = jax.random.split(state.rng)
+        seg_keys = jax.random.split(seg_rng, seg.content_len * 3
+                                    ).reshape(seg.content_len, 3, 2)
+        state = state._replace(rng=rng)
+
+        def step(carry, xs):
+            i, keys = xs
+            r1, r2, r3 = keys[0], keys[1], keys[2]
             state, boxes, bvalid, nbox, win, tokens_buf = carry
             p = c0 + i
             obj = i // 11
@@ -278,7 +290,6 @@ class Rollout:
             h, kv_k, kv_v = self.oar_step(params, state.prev_emb,
                                           state.kv_k, state.kv_v,
                                           cache_len=p - 1)
-            rng, r1, r2, r3 = jax.random.split(state.rng, 4)
 
             logits_ar = nn.linear(params["head_ar_bbox3d"], h[:, -1])
             tok_ar = sampler(r1, logits_ar)
@@ -354,12 +365,14 @@ class Rollout:
             emb = self._embed_token(params, "bbox3d", token)[:, None, :] \
                 + jax.lax.dynamic_slice_in_dim(prior_seq, p, 1, axis=1)
             new_state = OarState(kv_k, kv_v,
-                                 emb.astype(state.prev_emb.dtype), rng)
+                                 emb.astype(state.prev_emb.dtype),
+                                 state.rng)
             return (new_state, boxes, bvalid, nbox, win, tokens_buf), None
 
         tokens_buf0 = jnp.zeros((B, seg.content_len), jnp.int32)
         carry0 = (state, boxes0, valid0, nbox0, win0, tokens_buf0)
-        carry, _ = jax.lax.scan(step, carry0, jnp.arange(seg.content_len),
+        carry, _ = jax.lax.scan(step, carry0,
+                                (jnp.arange(seg.content_len), seg_keys),
                                 unroll=self.config.oar_pos_unroll)
         state, _, _, _, _, tokens_buf = carry
         return state, tokens_buf

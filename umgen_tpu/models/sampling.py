@@ -22,11 +22,15 @@ import jax.numpy as jnp
 
 def top_k_sample(rng: jax.Array, logits: jnp.ndarray, k: int,
                  temp: float = 1.0) -> jnp.ndarray:
-    """logits [..., V] → tokens [...]."""
+    """logits [..., V] → tokens [...].
+
+    Equivalent to mask-to-(-inf)-then-multinomial (ref:UMGen.py:899-913)
+    but samples the categorical over only the k surviving logits and maps
+    the choice back — measurably faster in the decode loop at V=8192."""
     lf = logits.astype(jnp.float32)
-    kth = jax.lax.top_k(lf, k)[0][..., -1:]
-    masked = jnp.where(lf < kth, -jnp.inf, lf)
-    return jax.random.categorical(rng, masked / temp, axis=-1)
+    vals, idx = jax.lax.top_k(lf, k)
+    choice = jax.random.categorical(rng, vals / temp, axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
 
 
 def top_p_sample(rng: jax.Array, logits: jnp.ndarray, p: float,
