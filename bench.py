@@ -49,9 +49,11 @@ def main():
     kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "float8_e4m3fn")
     T = 20                      # flagship conditioning window
 
+    pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
-                      oar_cache_dtype=kv_dtype).scaled(scale)
+                      oar_cache_dtype=kv_dtype,
+                      oar_pos_unroll=pos_unroll).scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
