@@ -50,10 +50,14 @@ def main():
     T = 20                      # flagship conditioning window
 
     pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
+    window = os.environ.get("UMGEN_BENCH_WINDOW")
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
                       oar_cache_dtype=kv_dtype,
-                      oar_pos_unroll=pos_unroll).scaled(scale)
+                      oar_pos_unroll=pos_unroll,
+                      tar_cache_window=int(window) if window else None,
+                      fused_oar_kernel=os.environ.get(
+                          "UMGEN_BENCH_FUSED") == "1").scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))

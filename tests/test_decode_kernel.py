@@ -1,0 +1,51 @@
+"""Fused Pallas decode-step kernel vs the XLA oar_step (TPU only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umgen_tpu.config import ModelConfig
+from umgen_tpu.models import modules as nn
+from umgen_tpu.models.rollout import Rollout
+from umgen_tpu.models.umgen import UMGen
+from umgen_tpu.runtime.quantize import quantize_params_int8
+
+tpu_only = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="Pallas TPU kernel (no interpret-mode coverage for "
+           "PrefetchScalarGridSpec)")
+
+
+@tpu_only
+def test_fused_decode_matches_xla():
+    from umgen_tpu.ops.decode_kernel import fused_decode_step
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=4)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 4,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    B, S = 1, 256
+    rng = np.random.default_rng(0)
+    kv_k = jnp.asarray(rng.normal(0, 0.5, (4, B, S, cfg.n_head,
+                                           cfg.head_dim)), jnp.bfloat16)
+    kv_v = jnp.asarray(rng.normal(0, 0.5, kv_k.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+    cl = jnp.int32(100)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_k, kv_v, cl)
+    h_f, kk_f, _ = fused_decode_step(pq["oar"], x, kv_k, kv_v, cl,
+                                     n_head=cfg.n_head)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    a = np.asarray(h_ref, np.float32)
+    b = np.asarray(h_f, np.float32)
+    # int8-activation quantization + bf16 residual rounding tolerance
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.05
+    np.testing.assert_allclose(np.asarray(kk_ref.astype(jnp.float32)),
+                               np.asarray(kk_f.astype(jnp.float32)),
+                               atol=0.05)

@@ -166,9 +166,18 @@ class ModelConfig:
     # lax.scan unroll factors for the OAR decode.  TPU while-loops carry a
     # fixed ~0.1 ms per-iteration sync cost; with 36 layers × 2202 positions
     # that overhead alone is ~8 s/frame.  Fully unrolling the layer scan
-    # (0 = full) keeps ONE while-iteration per decoded token.
+    # (0 = full) keeps ONE while-iteration per decoded token.  (Unrolling
+    # the POSITION scan was measured slower — leave at 1.)
     oar_layer_unroll: int = 0
     oar_pos_unroll: int = 1
+    # TAR temporal ring length; None = cond_frame (20).  Smaller windows
+    # trade temporal context for ring memory (~265 MB fp8 per frame per
+    # scene at the larger scale), enabling batched cached rollouts on one
+    # chip.
+    tar_cache_window: Optional[int] = None
+    # experimental single-launch Pallas decode step (ops/decode_kernel);
+    # currently slower than the XLA path on v5e — off by default
+    fused_oar_kernel: bool = False
 
     # --- training-only ---
     dropout: float = 0.0

@@ -110,6 +110,12 @@ class Rollout:
         cfg = self.config
         n_head = cfg.n_head
         B, Q, D = x.shape
+        if cfg.fused_oar_kernel and Q == 1 \
+                and "wq" in params["oar"]["attn"]["qkv"]:
+            from umgen_tpu.ops.decode_kernel import fused_decode_step
+            h, kv_k, kv_v = fused_decode_step(params["oar"], x, kv_k, kv_v,
+                                              cache_len, n_head=n_head)
+            return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         Dh = cfg.head_dim
         scale = 1.0 / np.sqrt(Dh)
         S_max = kv_k.shape[2]

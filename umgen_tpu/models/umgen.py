@@ -450,10 +450,16 @@ class UMGen:
             names.append(("box_tar", "ln_box_tar", 5 + 1026 + 662))
         return names
 
+    @property
+    def t_max(self) -> int:
+        """TAR temporal-ring length (config.tar_cache_window, default the
+        20-frame conditioning window)."""
+        return self.config.tar_cache_window or self.config.cond_frame
+
     def init_tar_cache(self, B: int) -> Dict[str, Any]:
         cfg = self.config
         dt = jnp.dtype(cfg.tar_cache_dtype)
-        T_max = cfg.cond_frame
+        T_max = self.t_max
         cache: Dict[str, Any] = {"frames": jnp.zeros((), jnp.int32)}
         layer_count = {"tar": cfg.n_tar_layer, "ego_tar": cfg.n_ego_tar_layer,
                        "map_tar": cfg.n_map_tar_layer,
@@ -484,17 +490,27 @@ class UMGen:
     def _run_tar_stack_prefill(self, params, stack_name, ln_name, emb,
                                T_max):
         """Full-window pass that also fills the temporal ring.
-        emb: [B, T, S, D] → ([B, T, S, D], kv rings [L, B*S, T_max, H, Dh])."""
+        emb: [B, T, S, D] → ([B, T, S, D], kv rings [L, B*S, T_max, H, Dh]).
+
+        When the window is longer than the ring, only the last T_max
+        frames' K/V are kept, scattered at their absolute ring slots so
+        subsequent writes overwrite the oldest frame."""
         cfg = self.config
         cache_dt = jnp.dtype(cfg.tar_cache_dtype)
+        T = emb.shape[1]
+        keep = min(T, T_max)
+        slots = np.arange(T - keep, T) % T_max     # static permutation
 
         def body(h, p):
             h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
                                                 attn_impl=self.attn)
-            T = k.shape[1]
-            pad = [(0, 0), (0, T_max - T), (0, 0), (0, 0)]
-            return h, (jnp.pad(k.astype(cache_dt), pad),
-                       jnp.pad(v.astype(cache_dt), pad))
+
+            def ring(a):
+                r = jnp.zeros(a.shape[:1] + (T_max,) + a.shape[2:],
+                              cache_dt)
+                return r.at[:, slots].set(a[:, -keep:].astype(cache_dt))
+
+            return h, (ring(k), ring(v))
 
         h, kv = jax.lax.scan(body, emb, params[stack_name])
         return nn.layer_norm(params[ln_name], h), kv
@@ -509,7 +525,7 @@ class UMGen:
         Returns {"prior_seq", "pose_diff", "cache"}.
         """
         cfg, lo = self.config, self.layout
-        T_max = cfg.cond_frame
+        T_max = self.t_max
         slot = jnp.asarray(abs_frame % T_max, jnp.int32)
         n_valid = jnp.minimum(abs_frame + 1, T_max).astype(jnp.int32)
         pose_diff = self.decode_pose(params, frame_inputs["pose"])
@@ -572,7 +588,7 @@ class UMGen:
         frame_inputs: {mod: [B, 1, len]} with pose = motion INTO the frame.
         Returns (logits [B, 3, pose_vocab], cache)."""
         cfg = self.config
-        T_max = cfg.cond_frame
+        T_max = self.t_max
         slot = jnp.asarray(abs_frame % T_max, jnp.int32)
         n_valid = jnp.minimum(abs_frame + 1, T_max).astype(jnp.int32)
         emb, _ = self._tar_input(params, frame_inputs, self.layout.mod_order,
@@ -597,7 +613,7 @@ class UMGen:
                                  warp=False, t_offset=0)
         new_cache = dict(cache)
         out, new_cache["ego_tar"] = self._run_tar_stack_prefill(
-            params, "ego_tar", "ln_ego_tar", emb, cfg.cond_frame)
+            params, "ego_tar", "ln_ego_tar", emb, self.t_max)
         B, T, S, D = out.shape
         q = self._ego_queries(params, out[:, -1], B, 1, t_offset=T - 1)
         return nn.linear(params["head_ego"], q[:, 0]), new_cache
@@ -608,7 +624,7 @@ class UMGen:
         frame — the cached-mode twin of `tar_priors`."""
         cfg, lo = self.config, self.layout
         T = shifted_inputs["pose"].shape[1]
-        T_max = cfg.cond_frame
+        T_max = self.t_max
         pose_diff = self.decode_pose(params, shifted_inputs["pose"])
         new_cache = dict(cache)
 
