@@ -22,7 +22,8 @@ Environment knobs:
   UMGEN_BENCH_BATCH     parallel scenes (default 1)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  float8_e4m3fn (default) | bfloat16
-  UMGEN_BENCH_W8        1 → int8 weight-only quantization of the OAR stack
+  UMGEN_BENCH_W8        int8 weight-only OAR quantization (default 1; the
+                        serving config — per-matmul rel err < 2%)
 """
 
 import json
@@ -61,7 +62,8 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
-    if os.environ.get("UMGEN_BENCH_W8") == "1":
+    w8 = os.environ.get("UMGEN_BENCH_W8", "1") == "1"
+    if w8:
         from umgen_tpu.runtime.quantize import quantize_params_int8
         params = quantize_params_int8(params)
     jax.block_until_ready(params)
@@ -124,8 +126,10 @@ def main():
         "metric": "frames_per_sec_per_chip",
         "value": round(fps_chip, 4),
         "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
-                f"tar={tar_mode}; p50 frame latency {p50:.3f}s; compile "
-                f"{compile_s:.0f}s; {n_frames} frames measured)",
+                f"tar={tar_mode}, kv={kv_dtype}"
+                f"{', int8-OAR' if w8 else ''}; p50 frame latency "
+                f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
+                f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),
     }
     print(json.dumps(result))

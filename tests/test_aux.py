@@ -102,3 +102,16 @@ def test_identity_tokenizer():
     enc = tok.encode(x)
     np.testing.assert_array_equal(enc, [10, 15, 109])
     np.testing.assert_array_equal(tok.decode(enc), x)
+
+
+def test_registry():
+    from umgen_tpu.registry import MODELS, DATASETS, register_builtins
+    register_builtins()
+    register_builtins()   # idempotent
+    assert "UMGen" in MODELS and "NuPlanTokenDataset" in DATASETS
+    from umgen_tpu.config import ModelConfig
+    from umgen_tpu.models.umgen import UMGen
+    m = MODELS.build({"type": "UMGen",
+                      "config": ModelConfig(use_pallas_attention=False
+                                            ).scaled("tiny")})
+    assert isinstance(m, UMGen)
