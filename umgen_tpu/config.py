@@ -178,6 +178,13 @@ class ModelConfig:
     # experimental single-launch Pallas decode step (ops/decode_kernel);
     # currently slower than the XLA path on v5e — off by default
     fused_oar_kernel: bool = False
+    # speculative decoding for the map/image segments: the TAR prior is a
+    # position-wise draft model (it is trained to predict exactly these
+    # positions); chunks of K drafts verify in ONE multi-query OAR step,
+    # amortizing the 255 MB/step weight stream over accepted tokens.
+    # Lossless (rejection-scheme) — the output distribution equals
+    # sequential sampling.  0 disables.
+    speculative_k: int = 0
 
     # --- training-only ---
     dropout: float = 0.0

@@ -367,6 +367,64 @@ def block_tar_decode(p: Params, x: jnp.ndarray, n_head: int,
     return xs, kv_cache
 
 
+def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
+                              ring_k: jnp.ndarray, ring_v: jnp.ndarray,
+                              slot, n_valid, attn_impl=sdpa):
+    """BlockTAR single-frame step with READ-ONLY temporal rings.
+
+    Returns (y [B, S, D], k_new, v_new [B*S, H, Dh]).  The caller scatters
+    all layers' new K/V into the rings with one dynamic_update_slice —
+    in-scan ring mutation forces XLA to materialize fresh multi-GB ring
+    copies per step (scan ys cannot alias xs).
+    The ring slot being overwritten this frame is masked out and the new
+    frame attends itself via a separate rank-1 term.
+    """
+    B, S, D = x.shape
+    xs = x
+    xs = xs + attention(p["sa1"], layer_norm(p["ln1"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp1"], layer_norm(p["ln2"], xs))
+
+    xt = xs.reshape(B * S, 1, D)
+    a = layer_norm(p["ln3"], xt)
+    qkv = linear(p["ta"]["qkv"], a)
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    N = B * S
+    H = n_head
+    Dh = D // H
+    q = q.reshape(N, 1, H, Dh)
+    k_new = k_new.reshape(N, H, Dh)
+    v_new = v_new.reshape(N, H, Dh)
+
+    T_max = ring_k.shape[1]
+    scale = 1.0 / math.sqrt(Dh)
+    lp = jnp.einsum("nqhd,nkhd->nhqk", q, ring_k.astype(q.dtype),
+                    preferred_element_type=jnp.float32) * scale
+    tpos = jnp.arange(T_max)[None, None, None, :]
+    valid = (tpos < n_valid) & (tpos != slot)
+    lp = jnp.where(valid, lp, -jnp.inf)
+    ls = (jnp.sum(q[:, 0] * k_new, axis=-1)
+          .astype(jnp.float32))[:, :, None, None] * scale  # [N,H,1,1]
+    m = jnp.maximum(jnp.max(lp, -1, keepdims=True), ls)
+    ep = jnp.exp(lp - m)
+    es = jnp.exp(ls - m)
+    denom = jnp.sum(ep, -1, keepdims=True) + es
+    wp = (ep / denom).astype(q.dtype)
+    wself = (es / denom).astype(q.dtype)
+    y = jnp.einsum("nhqk,nkhd->nqhd", wp, ring_v.astype(q.dtype))
+    y = y + wself.transpose(0, 2, 1, 3) * v_new[:, None]
+    att = linear(p["ta"]["proj"], y.reshape(N, 1, D))
+
+    xt = xt + att
+    xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
+
+    xs = xt.reshape(B, S, D)
+    xs = xs + attention(p["sa2"], layer_norm(p["ln5"], xs), n_head,
+                        causal=False, attn_impl=attn_impl)
+    xs = xs + mlp(p["mlp3"], layer_norm(p["ln6"], xs))
+    return xs, k_new, v_new
+
+
 def block_tar_collect_kv(p: Params, x: jnp.ndarray, n_head: int,
                          attn_impl=sdpa):
     """Full-window BlockTAR that also returns the temporal-attention K/V for

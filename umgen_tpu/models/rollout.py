@@ -89,8 +89,11 @@ class Rollout:
     # ------------------------------------------------------------------
     def init_kv(self, B: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
-        shape = (cfg.n_oar_layer, B, self.layout.input_len, cfg.n_head,
-                 cfg.head_dim)
+        # +K slack rows: speculative verify chunks may push up to K-1
+        # stale entries past a segment's end (never read, then overwritten)
+        slack = cfg.speculative_k if cfg.speculative_k > 0 else 0
+        shape = (cfg.n_oar_layer, B, self.layout.input_len + slack,
+                 cfg.n_head, cfg.head_dim)
         dt = jnp.dtype(cfg.oar_cache_dtype)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
@@ -522,9 +525,15 @@ class Rollout:
 
         head_for = {"map": "head_ar_map", "image": "head_ar_img",
                     "bbox3d": "head_ar_bbox3d"}
+        spec_k = cfg.speculative_k if cfg.sample_method in ("topk",
+                                                            "greedy") else 0
+        tar_head_for = {"map": "head_tar_map", "image": "head_tar_img"}
+        sample_k_for = {"map": cfg.top_k_map, "image": cfg.top_k_image}
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
-            part = self._sliced(state, seg.end)
+            kv_len = min(seg.end + (spec_k if seg.mod != "bbox3d" else 0),
+                         state.kv_k.shape[2])
+            part = self._sliced(state, kv_len)
             if seg.mod == "bbox3d":
                 # NB the merge rule reads the control-OVERWRITTEN previous
                 # frame (ref:_inference mutates inputs["bbox3d"][:, -1]
@@ -535,6 +544,15 @@ class Rollout:
                     prev_frame_bbox=prev_frame_bbox,
                     tar_box_logits=tar_box_logits,
                     control_mask=control_mask)
+            elif spec_k > 0:
+                from umgen_tpu.models.speculative import (
+                    decode_segment_speculative)
+                part, seg_tokens, _tel = decode_segment_speculative(
+                    self, params, seg, part, prior_seq,
+                    head_ar=head_for[seg.mod],
+                    head_tar=tar_head_for[seg.mod],
+                    k=sample_k_for[seg.mod], temp=cfg.sfmx_temp,
+                    K=spec_k, greedy=cfg.sample_method == "greedy")
             else:
                 part, seg_tokens = self._decode_plain_segment(
                     params, seg.mod, seg, part, prior_seq,

@@ -472,19 +472,28 @@ class UMGen:
 
     def _run_tar_stack_cached(self, params, stack_name, ln_name, x, kv,
                               slot, n_valid):
-        """x: [B, S, D] new frame → ([B, S, D], updated kv)."""
+        """x: [B, S, D] new frame → ([B, S, D], updated kv).
+
+        Rings are READ-ONLY inside the layer scan (scan ys cannot alias xs,
+        so in-scan ring updates would materialize fresh multi-GB copies);
+        all layers' new K/V scatter into the rings with one
+        dynamic_update_slice at the frame's ring slot."""
         cfg = self.config
         kv_k, kv_v = kv
 
         def body(h, layer):
             p, k_l, v_l = layer
-            h, (k_l, v_l) = nn.block_tar_decode(
-                p, h, cfg.n_head, (k_l, v_l), slot, n_valid,
+            h, k_new, v_new = nn.block_tar_decode_deferred(
+                p, h, cfg.n_head, k_l, v_l, slot, n_valid,
                 attn_impl=self.attn)
-            return h, (k_l, v_l)
+            return h, (k_new, v_new)
 
-        h, (kv_k, kv_v) = jax.lax.scan(body, x,
-                                       (params[stack_name], kv_k, kv_v))
+        h, (ks, vs) = jax.lax.scan(body, x, (params[stack_name], kv_k,
+                                             kv_v))
+        kv_k = jax.lax.dynamic_update_slice(
+            kv_k, ks[:, :, None].astype(kv_k.dtype), (0, 0, slot, 0, 0))
+        kv_v = jax.lax.dynamic_update_slice(
+            kv_v, vs[:, :, None].astype(kv_v.dtype), (0, 0, slot, 0, 0))
         return nn.layer_norm(params[ln_name], h), (kv_k, kv_v)
 
     def _run_tar_stack_prefill(self, params, stack_name, ln_name, emb,
