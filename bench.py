@@ -57,6 +57,8 @@ def main():
                       oar_cache_dtype=kv_dtype,
                       oar_pos_unroll=pos_unroll,
                       tar_cache_window=int(window) if window else None,
+                      speculative_k=int(os.environ.get(
+                          "UMGEN_BENCH_SPEC_K", "0")),
                       fused_oar_kernel=os.environ.get(
                           "UMGEN_BENCH_FUSED") == "1").scaled(scale)
     model = UMGen(cfg)
