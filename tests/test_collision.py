@@ -125,3 +125,23 @@ def test_collision_matrix_symmetric_no_diag():
     mat = collision_matrix_np(boxes)
     assert not mat.diagonal().any()
     np.testing.assert_array_equal(mat, mat.T)
+
+
+def test_generate_collision_attribute():
+    from umgen_tpu.ops.collision import generate_collision_attribute
+    # two boxes approaching head-on along x; a third far away and static
+    # asymmetric speeds so the pair overlaps properly (equal-and-opposite
+    # velocities pass through exact coincidence, which the strict
+    # intersection test rightly ignores)
+    boxes = np.array([
+        [0.0, 0, 0, 4, 2, 1.5, 0, 2.0, 0, 0],
+        [20.0, 0, 0, 4, 2, 1.5, 0, -1.5, 0, 0],
+        [50.0, 50, 0, 4, 2, 1.5, 0, 0, 0, 0],
+    ], np.float32)
+    attr = generate_collision_attribute([boxes], time_steps=10)[0]
+    assert attr.shape == (3,)
+    # gap 16 m closes at 3.5 m/step → proper overlap by t=5
+    assert attr[0] < 10 and attr[1] < 10
+    assert attr[0] == attr[1]
+    # the far box never collides
+    assert attr[2] == 10

@@ -159,6 +159,56 @@ def collision_matrix_np(boxes: np.ndarray) -> np.ndarray:
     return mat
 
 
+def generate_collision_attribute(frames, time_steps: int = 20,
+                                 sampling_gap: int = 1,
+                                 speed_scale: float = 1.0,
+                                 stop_speed: float = 0.05,
+                                 box_scale: float = 1.0):
+    """Per-agent time-to-first-collision under constant-velocity rollout.
+
+    Training-data prep equivalent of ref:misc.py:314-472 ("2d" mode): for
+    each frame's boxes, extrapolate positions along (vx, vy) for
+    `time_steps` steps and record the first step at which each box collides
+    with another; `time_steps` means "never".  Stopped-vs-stopped and
+    tiny-box collisions are forgiven (ref:misc.py:440-455).
+
+    frames: sequence of (N_t, 10) metric boxes → list of (N_t,) int arrays.
+    """
+    out = []
+    for boxes in frames:
+        boxes = np.asarray(boxes, dtype=np.float32).reshape(-1, 10)
+        n = len(boxes)
+        first = np.full(n, time_steps, np.int32)
+        if n == 0:
+            out.append(first)
+            continue
+        vx, vy = boxes[:, 7].copy(), boxes[:, 8].copy()
+        stopped = (np.abs(vx) <= stop_speed) & (vy <= stop_speed)
+        small = (boxes[:, 3] * box_scale <= 1) & (boxes[:, 4]
+                                                  * box_scale <= 1)
+        vx[np.abs(vx) <= stop_speed] = 0
+        vy[np.abs(vy) <= stop_speed] = 0
+        for t in range(1, time_steps + 1):
+            b = boxes.copy()
+            b[:, 0] = boxes[:, 0] + vx * t * sampling_gap * speed_scale
+            b[:, 1] = boxes[:, 1] + vy * t * sampling_gap * speed_scale
+            b[:, 3:5] *= box_scale
+            b[:, 6] = -boxes[:, 6]       # the prep negates yaw (ref:429)
+            mat = collision_matrix(b)
+            hit = mat.any(axis=1)
+            # forgive stopped-vs-stopped-only and tiny-box collisions
+            for i in np.where(hit)[0]:
+                partners = np.where(mat[i])[0]
+                if stopped[i] and np.all(stopped[partners]):
+                    hit[i] = False
+                elif small[i] and np.any(small[partners]):
+                    hit[i] = False
+            newly = hit & (first == time_steps)
+            first[newly] = t - 1
+        out.append(first)
+    return out
+
+
 class BoxOverlap:
     """Collision-rate metric (ref:misc.py:561-736)."""
 
