@@ -64,10 +64,13 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
-    w8 = os.environ.get("UMGEN_BENCH_W8", "1") == "1"
+    w8_mode = os.environ.get("UMGEN_BENCH_W8", "1")
+    w8 = w8_mode in ("1", "all")
     if w8:
-        from umgen_tpu.runtime.quantize import quantize_params_int8
-        params = quantize_params_int8(params)
+        from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
+                                                quantize_params_int8)
+        params = quantize_params_int8(
+            params, keys=ALL_STACK_KEYS if w8_mode == "all" else DECODE_KEYS)
     jax.block_until_ready(params)
 
     raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)

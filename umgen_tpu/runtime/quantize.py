@@ -32,13 +32,21 @@ def _quantize_linear(p: Params) -> Params:
     return out
 
 
+DECODE_KEYS = ("oar", "head_ar_map", "head_ar_img", "head_ar_bbox3d",
+               "head_ar_pose", "head_ar_aux")
+ALL_STACK_KEYS = DECODE_KEYS + (
+    "tar", "map_tar", "box_tar", "ego_tar", "ego_ca", "map_mlp_pre",
+    "img_mlp_pre", "head_tar_map", "head_tar_img", "head_tar_bbox3d",
+    "head_tar_pose", "head_tar_aux", "head_ego")
+
+
 def quantize_params_int8(params: Params,
-                         keys: Iterable[str] = ("oar", "head_ar_map",
-                                                "head_ar_img",
-                                                "head_ar_bbox3d",
-                                                "head_ar_pose",
-                                                "head_ar_aux")) -> Params:
-    """Return params with the selected subtrees' linear weights in int8."""
+                         keys: Iterable[str] = DECODE_KEYS) -> Params:
+    """Return params with the selected subtrees' linear weights in int8.
+
+    Default: the decode-bound OAR stack + AR heads.  Pass ALL_STACK_KEYS to
+    also quantize the TAR cascade (halves total param memory — enables
+    batch-2 cached rollouts at the full 20-frame window on one chip)."""
     LINEAR_NAMES = {"qkv", "proj", "fc", "q", "k", "v"}
     out = dict(params)
     for key in keys:
