@@ -45,7 +45,9 @@ def main():
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
     n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
-    B = int(os.environ.get("UMGEN_BENCH_BATCH", "1"))
+    # default serving config: 2 parallel scenes at the faithful 20-frame
+    # window, fp8 caches, int8 weights (fits one 16 GB v5e chip)
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "2"))
     tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
     kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "float8_e4m3fn")
     T = 20                      # flagship conditioning window
@@ -64,7 +66,7 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
-    w8_mode = os.environ.get("UMGEN_BENCH_W8", "1")
+    w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
     w8 = w8_mode in ("1", "all")
     if w8:
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
