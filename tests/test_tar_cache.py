@@ -143,3 +143,24 @@ def test_cached_fp8_runs_and_tracks_bf16():
     assert out8["map"].shape == out16["map"].shape
     agree = (out8["bbox3d"][:, -1] == out16["bbox3d"][:, -1]).mean()
     assert agree > 0.5
+
+
+def test_ring_window_shorter_than_prefill():
+    """tar_cache_window < conditioning length: prefill scatters the last
+    `window` frames at their absolute ring slots; subsequent frames evict
+    the oldest.  Smoke + structural check (semantics differ from recompute
+    by design)."""
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_cache_dtype="float32", tar_mode="temporal_cache",
+                tar_cache_window=2)
+    cfg = ModelConfig(**base).scaled("tiny")
+    model = UMGen(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    cond = make_token_batch(model.layout, T=3, B=1, seed=0, config=cfg)
+    out = Generator(model, params, seed=3).generate(
+        cond, new_frames=3, cond_frames=20, input_cond_frames=3)
+    assert out["pose"].shape == (1, 6, 3)
+    toks = out["map"][:, 3:]
+    assert toks.min() >= 0 and toks.max() < 8192

@@ -61,6 +61,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_method", type=str, default="topk")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
+    # performance options (no reference equivalents)
+    p.add_argument("--tar_mode", type=str, default="temporal_cache",
+                   choices=["temporal_cache", "recompute"],
+                   help="recompute = reference-faithful window recompute; "
+                   "temporal_cache = per-layer frame KV rings (~12x fewer "
+                   "TAR FLOPs)")
+    p.add_argument("--kv_dtype", type=str, default="float8_e4m3fn",
+                   help="KV cache storage dtype (float8_e4m3fn | bfloat16)")
+    p.add_argument("--int8", type=str, default="decode",
+                   choices=["off", "decode", "all"],
+                   help="weight-only int8 quantization scope")
+    p.add_argument("--speculative_k", type=int, default=0,
+                   help="TAR-draft speculative decoding chunk size for the "
+                   "map/image segments (0 = off)")
+    p.add_argument("--tar_cache_window", type=int, default=None,
+                   help="temporal ring length (default: cond_frames)")
     return p
 
 
@@ -82,7 +98,12 @@ def main(argv: Optional[list] = None) -> int:
 
     cfg = ModelConfig(task=args.pred_task,
                       rule_constrain=args.rule_constrain,
-                      sample_method=args.sample_method).scaled(
+                      sample_method=args.sample_method,
+                      tar_mode=args.tar_mode,
+                      tar_cache_dtype=args.kv_dtype,
+                      oar_cache_dtype=args.kv_dtype,
+                      speculative_k=args.speculative_k,
+                      tar_cache_window=args.tar_cache_window).scaled(
                           args.model_scale)
     infer_cfg = InferConfig.for_task(args.infer_task,
                                      args.set_num_new_frames,
@@ -107,6 +128,13 @@ def main(argv: Optional[list] = None) -> int:
                                      "map_codebook.pth"),
             img_codebook_path=_maybe("projects/tokenizer/weights/"
                                      "img_codebook.pth"))
+
+    if args.int8 != "off":
+        from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
+                                                quantize_params_int8)
+        params = quantize_params_int8(
+            params, keys=ALL_STACK_KEYS if args.int8 == "all"
+            else DECODE_KEYS)
 
     # ---- detokenizers ----
     map_dec = image_dec = None
