@@ -145,3 +145,72 @@ def test_generate_collision_attribute():
     assert attr[0] == attr[1]
     # the far box never collides
     assert attr[2] == 10
+
+
+# ---------------------------------------------------------------------------
+# 3D box IoU (ops/collision.py box_iou_3d — pytorch3d box3d_overlap stand-in)
+# ---------------------------------------------------------------------------
+def test_box_iou_3d_identical_and_disjoint():
+    from umgen_tpu.ops.collision import box_iou_3d, box_vertices
+    centers = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+    whl = np.array([[4, 2, 1.5], [4, 2, 1.5]], np.float32)
+    yaw = np.zeros(2, np.float32)
+    v = box_vertices(centers, whl, yaw)
+    inter, iou = box_iou_3d(v, v)
+    vol = 4 * 2 * 1.5
+    np.testing.assert_allclose(np.diag(inter), vol, rtol=1e-5)
+    np.testing.assert_allclose(np.diag(iou), 1.0, rtol=1e-5)
+    assert inter[0, 1] == 0 and iou[0, 1] == 0
+
+
+def test_box_iou_3d_half_overlap():
+    from umgen_tpu.ops.collision import box_iou_3d, box_vertices
+    # unit cubes offset by half along x: inter = 0.5, union = 1.5
+    centers = np.array([[0, 0, 0], [0.5, 0, 0]], np.float32)
+    whl = np.ones((2, 3), np.float32)
+    v = box_vertices(centers, whl, np.zeros(2, np.float32))
+    inter, iou = box_iou_3d(v[:1], v[1:])
+    np.testing.assert_allclose(inter[0, 0], 0.5, rtol=1e-5)
+    np.testing.assert_allclose(iou[0, 0], 0.5 / 1.5, rtol=1e-5)
+
+
+def test_box_iou_3d_rotation_invariance():
+    from umgen_tpu.ops.collision import box_iou_3d, box_vertices
+    # rotating both boxes together must not change the IoU
+    centers = np.array([[0, 0, 0], [1.0, 0.5, 0]], np.float32)
+    whl = np.array([[4, 2, 1], [3, 2, 1]], np.float32)
+    base_yaw = np.array([0.3, -0.2], np.float32)
+    v = box_vertices(centers, whl, base_yaw)
+    _, iou0 = box_iou_3d(v[:1], v[1:])
+    theta = 1.1
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s], [s, c]], np.float32)
+    rc = centers.copy()
+    rc[:, :2] = centers[:, :2] @ R.T
+    # box_vertices applies the reference's row-vector rotation (net -yaw),
+    # so a world rotation by +theta means yaw_arg -= theta
+    v2 = box_vertices(rc, whl, base_yaw - theta)
+    _, iou1 = box_iou_3d(v2[:1], v2[1:])
+    np.testing.assert_allclose(iou0[0, 0], iou1[0, 0], rtol=1e-4)
+    assert iou0[0, 0] > 0
+
+
+def test_box_iou_3d_z_disjoint():
+    from umgen_tpu.ops.collision import box_iou_3d, box_vertices
+    centers = np.array([[0, 0, 0], [0, 0, 5]], np.float32)
+    whl = np.ones((2, 3), np.float32)
+    v = box_vertices(centers, whl, np.zeros(2, np.float32))
+    inter, iou = box_iou_3d(v[:1], v[1:])
+    assert inter[0, 0] == 0 and iou[0, 0] == 0
+
+
+def test_generate_collision_attribute_3d_mode():
+    from umgen_tpu.ops.collision import generate_collision_attribute
+    boxes = np.array([
+        [0.0, 0, 0, 4, 2, 1.5, 0, 2.0, 0, 0],
+        [20.0, 0, 0, 4, 2, 1.5, 0, -1.5, 0, 0],
+        [50.0, 50, 0, 4, 2, 1.5, 0, 0, 0, 0],
+    ], np.float32)
+    attr = generate_collision_attribute([boxes], time_steps=10, mode="3d")[0]
+    assert attr.shape == (3,)
+    assert attr[0] < 10 and attr[1] < 10 and attr[2] == 10

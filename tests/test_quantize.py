@@ -39,3 +39,100 @@ def test_quantized_oar_forward_close():
     y_q = np.asarray(model.oar_forward(qparams, x))
     denom = np.abs(y_fp).max()
     assert np.abs(y_fp - y_q).max() / denom < 0.05
+
+
+# ---------------------------------------------------------------------------
+# training-time quantizers (models/quantize.py)
+# ---------------------------------------------------------------------------
+def test_norm_ema_quantizer_basic():
+    from umgen_tpu.models.quantize import (EMAState, init_ema_state,
+                                           norm_ema_quantize)
+    key = jax.random.PRNGKey(0)
+    st = init_ema_state(key, n_codes=16, dim=8)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 8))
+    zq, loss, idx, st2 = norm_ema_quantize(st, z, train=True)
+    assert zq.shape == z.shape and idx.shape == (4, 5)
+    assert float(loss) >= 0
+    # codebook rows stay l2-normalized after the EMA step
+    norms = np.linalg.norm(np.asarray(st2.embedding), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # repeated training on the same batch shrinks the commit loss
+    for _ in range(50):
+        _, loss2, _, st2 = norm_ema_quantize(st2, z, train=True)
+    assert float(loss2) < float(loss)
+
+
+def test_norm_ema_straight_through_gradient():
+    from umgen_tpu.models.quantize import init_ema_state, norm_ema_quantize
+    st = init_ema_state(jax.random.PRNGKey(0), 8, 4)
+
+    def f(z):
+        zq, loss, _, _ = norm_ema_quantize(st, z, train=False)
+        return jnp.sum(zq ** 2) + loss
+
+    g = jax.grad(f)(jax.random.normal(jax.random.PRNGKey(1), (3, 4)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_norm_ema_psum_sync_matches_single_device():
+    """Sharded quantize with axis_name must equal the unsharded update."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from umgen_tpu.models.quantize import init_ema_state, norm_ema_quantize
+
+    st = init_ema_state(jax.random.PRNGKey(0), 16, 8)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 8))
+
+    _, _, idx_ref, st_ref = norm_ema_quantize(st, z, train=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+
+    def local(st, z):
+        zq, _, idx, new_st = norm_ema_quantize(st, z, train=True,
+                                               axis_name="dp")
+        return zq, idx, new_st
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P("dp", None)),
+                   out_specs=(P("dp", None), P("dp"), P()))
+    _, idx_sh, st_sh = fn(st, z)
+    np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_sh))
+    np.testing.assert_allclose(np.asarray(st_ref.embedding),
+                               np.asarray(st_sh.embedding), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_ref.cluster_size),
+                               np.asarray(st_sh.cluster_size), atol=1e-5)
+
+
+def test_kmeans_init():
+    from umgen_tpu.models.quantize import (init_ema_state,
+                                           maybe_kmeans_init)
+    st = init_ema_state(jax.random.PRNGKey(0), 4, 8, kmeans_init=True)
+    assert not bool(st.initted)
+    data = jax.random.normal(jax.random.PRNGKey(1), (64, 8))
+    st2 = maybe_kmeans_init(st, data, jax.random.PRNGKey(2))
+    assert bool(st2.initted)
+    norms = np.linalg.norm(np.asarray(st2.embedding), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # idempotent once initted
+    st3 = maybe_kmeans_init(st2, data, jax.random.PRNGKey(3))
+    assert st3 is st2
+
+
+def test_diagonal_gaussian():
+    from umgen_tpu.models.quantize import DiagonalGaussian
+    params = jnp.concatenate([jnp.zeros((2, 3, 3, 4)),
+                              jnp.zeros((2, 3, 3, 4))], axis=-1)
+    d = DiagonalGaussian(params)
+    # standard normal → KL to prior is exactly 0
+    np.testing.assert_allclose(np.asarray(d.kl()), 0.0, atol=1e-6)
+    s = d.sample(jax.random.PRNGKey(0))
+    assert s.shape == (2, 3, 3, 4)
+    # nll of the mode of a standard normal = 0.5*log(2π) per element
+    nll = np.asarray(d.nll(d.mode()))
+    np.testing.assert_allclose(nll, 0.5 * np.log(2 * np.pi) * 36, rtol=1e-5)
+    # deterministic mode: zero kl, sample == mean
+    dd = DiagonalGaussian(params, deterministic=True)
+    np.testing.assert_allclose(np.asarray(dd.kl()), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(dd.sample(jax.random.PRNGKey(0))), np.asarray(d.mode()))

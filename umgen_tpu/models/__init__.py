@@ -1,3 +1,3 @@
-from umgen_tpu.models import modules, umgen
+from umgen_tpu.models import modules, quantize, umgen
 
-__all__ = ["modules", "umgen"]
+__all__ = ["modules", "quantize", "umgen"]

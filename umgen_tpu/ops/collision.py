@@ -159,11 +159,111 @@ def collision_matrix_np(boxes: np.ndarray) -> np.ndarray:
     return mat
 
 
+def box_vertices(centers: np.ndarray, whl: np.ndarray,
+                 yaw: np.ndarray) -> np.ndarray:
+    """(N, 3) centers, (N, 3) l/w/h, (N,) yaw → (N, 8, 3) box corners,
+    bottom face first, counter-clockwise in BEV (ref:misc.py:76-125;
+    callers pass the negated yaw, ref:misc.py:388)."""
+    l2, w2, h2 = (whl[:, 0] / 2, whl[:, 1] / 2, whl[:, 2] / 2)
+    sx = np.array([-1, 1, 1, -1, -1, 1, 1, -1], np.float32)
+    sy = np.array([-1, -1, 1, 1, -1, -1, 1, 1], np.float32)
+    sz = np.array([-1, -1, -1, -1, 1, 1, 1, 1], np.float32)
+    corners = np.stack([sx[None] * l2[:, None], sy[None] * w2[:, None],
+                        sz[None] * h2[:, None]], axis=-1)  # (N, 8, 3)
+    c, s = np.cos(yaw), np.sin(yaw)
+    # corners @ [[c, -s, 0], [s, c, 0], [0, 0, 1]] per box (ref row-vector
+    # convention: einsum("ijk,ikl->ijl", corners, R))
+    x = corners[..., 0] * c[:, None] + corners[..., 1] * s[:, None]
+    y = -corners[..., 0] * s[:, None] + corners[..., 1] * c[:, None]
+    out = np.stack([x, y, corners[..., 2]], axis=-1)
+    return out + centers[:, None, :]
+
+
+def _convex_poly_area(poly: np.ndarray) -> float:
+    """Shoelace area of an (M, 2) polygon (any winding)."""
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _clip_poly_halfplane(poly: np.ndarray, a: np.ndarray,
+                         b: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: keep the part of `poly` left of edge a→b."""
+    if len(poly) == 0:
+        return poly
+    d = (b[0] - a[0]) * (poly[:, 1] - a[1]) \
+        - (b[1] - a[1]) * (poly[:, 0] - a[0])
+    out = []
+    n = len(poly)
+    for i in range(n):
+        j = (i + 1) % n
+        if d[i] >= 0:
+            out.append(poly[i])
+            if d[j] < 0:
+                t = d[i] / (d[i] - d[j])
+                out.append(poly[i] + t * (poly[j] - poly[i]))
+        elif d[j] >= 0:
+            t = d[i] / (d[i] - d[j])
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(out, np.float64).reshape(-1, 2)
+
+
+def _ccw(poly: np.ndarray) -> np.ndarray:
+    x, y = poly[:, 0], poly[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) < 0:
+        return poly[::-1]
+    return poly
+
+
+def box_iou_3d(verts1: np.ndarray, verts2: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 8, 3) × (M, 8, 3) box vertices → (intersection volume, 3D IoU),
+    both (N, M).
+
+    TPU-native stand-in for the reference's pytorch3d ``box3d_overlap``
+    wrapper (ref:misc.py:128-140): boxes are upright (yaw-only rotation), so
+    the exact 3D intersection is (BEV convex-polygon intersection area) ×
+    (z-extent overlap).  Host-side metric path; N ≤ 61 keeps the pairwise
+    Sutherland–Hodgman clip cheap.
+    """
+    verts1 = np.asarray(verts1, np.float64)
+    verts2 = np.asarray(verts2, np.float64)
+    n, m = len(verts1), len(verts2)
+    inter = np.zeros((n, m))
+    polys1 = [_ccw(v[:4, :2]) for v in verts1]
+    polys2 = [_ccw(v[:4, :2]) for v in verts2]
+    z1 = verts1[:, :, 2].min(1), verts1[:, :, 2].max(1)
+    z2 = verts2[:, :, 2].min(1), verts2[:, :, 2].max(1)
+    areas1 = np.array([_convex_poly_area(p) for p in polys1])
+    areas2 = np.array([_convex_poly_area(p) for p in polys2])
+    vol1 = areas1 * (z1[1] - z1[0])
+    vol2 = areas2 * (z2[1] - z2[0])
+    for i in range(n):
+        for j in range(m):
+            dz = min(z1[1][i], z2[1][j]) - max(z1[0][i], z2[0][j])
+            if dz <= 0:
+                continue
+            poly = polys1[i]
+            clip = polys2[j]
+            for k in range(4):
+                poly = _clip_poly_halfplane(poly, clip[k],
+                                            clip[(k + 1) % 4])
+                if len(poly) == 0:
+                    break
+            inter[i, j] = _convex_poly_area(poly) * dz
+    union = vol1[:, None] + vol2[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    return inter, iou
+
+
 def generate_collision_attribute(frames, time_steps: int = 20,
                                  sampling_gap: int = 1,
                                  speed_scale: float = 1.0,
                                  stop_speed: float = 0.05,
-                                 box_scale: float = 1.0):
+                                 box_scale: float = 1.0,
+                                 mode: str = "2d",
+                                 iou_threshold: int = 0):
     """Per-agent time-to-first-collision under constant-velocity rollout.
 
     Training-data prep equivalent of ref:misc.py:314-472 ("2d" mode): for
@@ -171,6 +271,10 @@ def generate_collision_attribute(frames, time_steps: int = 20,
     `time_steps` steps and record the first step at which each box collides
     with another; `time_steps` means "never".  Stopped-vs-stopped and
     tiny-box collisions are forgiven (ref:misc.py:440-455).
+
+    ``mode="3d"`` uses the IoU-based test instead (ref:misc.py:380-417):
+    height clamped to 1, z set to 1, collision iff the count of partners
+    with IoU > 0 exceeds ``iou_threshold``; no stopped/tiny forgiveness.
 
     frames: sequence of (N_t, 10) metric boxes → list of (N_t,) int arrays.
     """
@@ -192,17 +296,27 @@ def generate_collision_attribute(frames, time_steps: int = 20,
             b = boxes.copy()
             b[:, 0] = boxes[:, 0] + vx * t * sampling_gap * speed_scale
             b[:, 1] = boxes[:, 1] + vy * t * sampling_gap * speed_scale
-            b[:, 3:5] *= box_scale
-            b[:, 6] = -boxes[:, 6]       # the prep negates yaw (ref:429)
-            mat = collision_matrix(b)
-            hit = mat.any(axis=1)
-            # forgive stopped-vs-stopped-only and tiny-box collisions
-            for i in np.where(hit)[0]:
-                partners = np.where(mat[i])[0]
-                if stopped[i] and np.all(stopped[partners]):
-                    hit[i] = False
-                elif small[i] and np.any(small[partners]):
-                    hit[i] = False
+            if mode == "3d":
+                centers = np.stack([b[:, 0], b[:, 1],
+                                    np.ones(n, np.float32)], axis=1)
+                whl = boxes[:, 3:6].copy() * box_scale
+                whl[:, 2] = 1.0
+                verts = box_vertices(centers, whl, -boxes[:, 6])
+                _, iou = box_iou_3d(verts, verts)
+                np.fill_diagonal(iou, 0.0)
+                hit = (iou > 0).sum(axis=1) > iou_threshold
+            else:
+                b[:, 3:5] *= box_scale
+                b[:, 6] = -boxes[:, 6]   # the prep negates yaw (ref:429)
+                mat = collision_matrix(b)
+                hit = mat.any(axis=1)
+                # forgive stopped-vs-stopped-only and tiny-box collisions
+                for i in np.where(hit)[0]:
+                    partners = np.where(mat[i])[0]
+                    if stopped[i] and np.all(stopped[partners]):
+                        hit[i] = False
+                    elif small[i] and np.any(small[partners]):
+                        hit[i] = False
             newly = hit & (first == time_steps)
             first[newly] = t - 1
         out.append(first)
