@@ -157,3 +157,178 @@ def render_scene_video(path: str,
             cam = np.clip((images[t] + 1) / 2 * 255, 0, 255).astype(np.uint8)
         frames.append(stack_panels(cam, bev))
     return write_video(frames, path, fps)
+
+
+# ---------------------------------------------------------------------------
+# token / polyline panels (ref:visulize.py:1261-1339,1341-1394)
+# ---------------------------------------------------------------------------
+WAYMO_POINT_COLORS = {
+    # lane centers red, boundaries/road lines white, crosswalk etc. cyan
+    -1: (255, 0, 0), 1: (255, 0, 0), 2: (255, 0, 0), 3: (255, 0, 0),
+    0: (255, 255, 255), 4: (255, 255, 255), 5: (255, 255, 255),
+    6: (255, 255, 255), 7: (255, 255, 255), 8: (255, 255, 255),
+    9: (255, 255, 255), 10: (255, 255, 255), 11: (255, 255, 255),
+    12: (255, 255, 255), 13: (255, 255, 255), 14: (255, 255, 255),
+    15: (0, 255, 255), 16: (0, 255, 255), 17: (0, 255, 255),
+    18: (0, 255, 255), 19: (0, 255, 255),
+}
+
+
+def draw_tokens(tokens: np.ndarray, H: int = 32, W: int = 32,
+                base_images: Optional[Sequence[np.ndarray]] = None,
+                scale: int = 5) -> List[np.ndarray]:
+    """Token-id inspection panel: each frame's (H*W,) token grid printed as
+    text on a canvas (ref:visulize.py:1261-1339)."""
+    tokens = np.asarray(tokens).reshape(-1, H, W)
+    cell = int(CANVAS / H * scale)
+    out = []
+    for k in range(tokens.shape[0]):
+        if base_images is not None:
+            img = base_images[k].copy()
+        else:
+            img = np.full((CANVAS * scale // 1, CANVAS * scale // 1, 3), 30,
+                          np.uint8)
+        for i in range(H):
+            for j in range(W):
+                cv2.putText(img, str(int(tokens[k, i, j])),
+                            (j * cell + 2, i * cell + 10),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.3, (0, 0, 255), 1)
+        out.append(img)
+    return out
+
+
+def draw_point_map(map_polylines: np.ndarray,
+                   base_images: Optional[Sequence[np.ndarray]] = None
+                   ) -> List[np.ndarray]:
+    """Waymo polyline-map mode: per frame, scatter map points onto the BEV
+    canvas colored by point type; only background pixels are painted
+    (ref:visulize.py:1341-1394).
+
+    map_polylines: (T, n_lines, n_pts, >=7) rows
+    [x, y, z, dir_x, dir_y, dir_z, type, ...].
+    """
+    out = []
+    for frame in range(map_polylines.shape[0]):
+        img = (base_images[frame].copy() if base_images is not None
+               else np.full((CANVAS, CANVAS, 3), 30, np.uint8))
+        for line in map_polylines[frame]:
+            xy = line[:, :2]
+            ptype = line[:, -3] if line.shape[1] >= 7 else line[:, -1]
+            m = (np.abs(xy[:, 0]) < 64) & (np.abs(xy[:, 1]) < 64)
+            for (x, y), t in zip(xy[m], ptype[m]):
+                px = int((-x + 64) * SCALE)
+                py = int((-y + 64) * SCALE)
+                col = WAYMO_POINT_COLORS.get(int(t), (255, 255, 255))
+                if np.all(img[px, py] == 30) or np.all(img[px, py] == 0):
+                    img[px, py] = col
+        out.append(img)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PNG cache + video assembly (ref:visulize.py:61-75,1080-1120,1396-1498)
+# ---------------------------------------------------------------------------
+def save_frame_pngs(frames: Sequence[np.ndarray], folder: str) -> List[str]:
+    """Write frames as <i>.png (the reference renders to a PNG cache first,
+    ref:visulize.py:1080-1120)."""
+    os.makedirs(folder, exist_ok=True)
+    paths = []
+    for i, f in enumerate(frames):
+        p = os.path.join(folder, f"{i}.png")
+        cv2.imwrite(p, f)
+        paths.append(p)
+    return paths
+
+
+def create_video_from_images(image_folder: str, video_path: str,
+                             fps: int = 5) -> str:
+    """PNG cache dir (numeric names) → mp4 (ref:visulize.py:61-75)."""
+    import glob
+    images = sorted(glob.glob(os.path.join(image_folder, "*.png")),
+                    key=lambda x: int(os.path.splitext(
+                        os.path.basename(x))[0]))
+    return write_video([cv2.imread(p) for p in images], video_path, fps)
+
+
+def render_pred_gt_video(path: str,
+                         pred_boxes: np.ndarray, pred_cats: np.ndarray,
+                         pred_valid: np.ndarray,
+                         gt_boxes: Optional[np.ndarray] = None,
+                         gt_cats: Optional[np.ndarray] = None,
+                         gt_valid: Optional[np.ndarray] = None,
+                         pred_maps: Optional[np.ndarray] = None,
+                         gt_maps: Optional[np.ndarray] = None,
+                         pose: Optional[np.ndarray] = None,
+                         cond_frames: int = 20, fps: int = 10,
+                         png_cache: Optional[str] = None,
+                         mark_collisions: bool = True) -> str:
+    """Side-by-side prediction | ground-truth BEV video with per-frame
+    collision highlighting — the reference's ``visulize_objects_in_image``
+    + ``vis_pred_video`` flow (ref:visulize.py:293-422,1607-1633)."""
+    from umgen_tpu.ops.collision import collision_matrix
+    T = pred_boxes.shape[0]
+    frames = []
+    for t in range(T):
+        cids = None
+        if mark_collisions:
+            act = pred_boxes[t][pred_valid[t].astype(bool)]
+            mat = collision_matrix(act)
+            hit = np.where(mat.any(axis=1))[0]
+            live = np.where(pred_valid[t].astype(bool))[0]
+            cids = live[hit].tolist()
+        left = render_frame(pred_boxes[t], pred_cats[t], pred_valid[t],
+                            pred_maps[t] if pred_maps is not None else None,
+                            collision_ids=cids)
+        left = put_header(left, t, cond_frames,
+                          pose[t] if pose is not None else None)
+        if gt_boxes is not None:
+            right = render_frame(gt_boxes[t], gt_cats[t],
+                                 gt_valid[t] if gt_valid is not None
+                                 else None,
+                                 gt_maps[t] if gt_maps is not None else None)
+            right = cv2.putText(right, "GT", (10, 20),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                                (0, 255, 0), 1)
+            frame = np.concatenate([left, right], axis=1)
+        else:
+            frame = left
+        frames.append(frame)
+    if png_cache:
+        save_frame_pngs(frames, png_cache)
+    return write_video(frames, path, fps)
+
+
+def merge_video_with_images(video_path: str, images: np.ndarray,
+                            out_path: str, start_index: int = 10,
+                            image_text: str = "decoded") -> str:
+    """Append a decoded-image panel under an existing rollout video
+    (ref:visulize.py:1396-1498 merage_image_to_video): frames before
+    `start_index` show a black panel, after it the corresponding image."""
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(video_path)
+    vw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 10
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        images = np.clip((images + 1) / 2 * 255, 0, 255).astype(np.uint8)
+    frames = []
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        j = idx - start_index
+        if 0 <= j < len(images):
+            panel = images[j]
+        else:
+            panel = np.zeros_like(images[0])
+        if panel.shape[1] != vw:
+            h = int(round(panel.shape[0] * vw / panel.shape[1]))
+            panel = cv2.resize(panel, (vw, h))
+        panel = cv2.putText(panel.copy(), image_text, (10, 20),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 255, 0), 1)
+        frames.append(np.concatenate([frame, panel], axis=0))
+        idx += 1
+    cap.release()
+    return write_video(frames, out_path, int(fps))
