@@ -113,6 +113,14 @@ class Rollout:
         cfg = self.config
         n_head = cfg.n_head
         B, Q, D = x.shape
+        if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
+            # v2: packed-block kernel (5 DMAs/layer, S-blocked flash
+            # attention with cache-length clamped fetches)
+            from umgen_tpu.ops.decode_kernel import fused_decode_step_v2
+            h, kv_k, kv_v = fused_decode_step_v2(params["oar_packed"], x,
+                                                 kv_k, kv_v, cache_len,
+                                                 n_head=n_head)
+            return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         if cfg.fused_oar_kernel and Q == 1 \
                 and "wq" in params["oar"]["attn"]["qkv"]:
             from umgen_tpu.ops.decode_kernel import fused_decode_step

@@ -253,3 +253,309 @@ def fused_decode_step(oar_params: Params, x: jnp.ndarray,
     kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
                                         (0, 0, cache_len, 0, 0))
     return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v2: packed-block, S-blocked, flash-accumulating fused decode step
+# ===========================================================================
+# Why v2 (measured on v5e, 36 layers, d=768, S=2208, B=1):
+#   * v1 issues ~14 DMAs per layer; the 8 tiny ones (LN weights, scales,
+#     biases) cost ~1-2 us each — an empty v1 kernel that only streams its
+#     blocks already takes 1.42 ms (~33% of HBM peak).  v2 packs all
+#     per-layer vectors into ONE [1, 11520] f32 block and all 768-input
+#     matrices into ONE [768, 6144+] int8 block (+ the [3072, 768] mlp-out
+#     matrix) → 5 DMAs per layer.
+#   * v1 streams the full S=2208 KV prefix every step; v2 blocks S on the
+#     grid ((L, NS) instead of (L,)) with the block index CLAMPED to the
+#     last block below `cache_len` — Pallas skips the re-fetch when the
+#     index map returns the same block, so KV traffic tracks the true
+#     prefix length.  Attention accumulates across S-blocks in scratch with
+#     the standard flash (m, denom, acc) update.
+#   * fp8 KV upconversion is emulated (slow) on v5e — the ablated attention
+#     compute was 1.46 ms/step of VPU conversions.  v2 supports bf16 and
+#     int8 cache storage (int8 with the fixed KV_INT8_SCALE grid); int8
+#     converts natively.
+
+KV_INT8_SCALE = 16.0     # fixed-grid int8 KV: step 1/16, range ±7.94
+
+
+_VEC_OFF = {}
+
+
+def _vec_offsets(d: int):
+    """Column offsets of the packed per-layer vector block."""
+    if d not in _VEC_OFF:
+        names = [("ln1", d), ("ln2", d), ("qkv_ws", 3 * d),
+                 ("qkv_b", 3 * d), ("proj_ws", d), ("proj_b", d),
+                 ("fc_ws", 4 * d), ("pj_ws", d)]
+        off, table = 0, {}
+        for n, w in names:
+            table[n] = (off, off + w)
+            off += w
+        table["__total__"] = off
+        _VEC_OFF[d] = table
+    return _VEC_OFF[d]
+
+
+def pack_fused_oar(oar_params: Params) -> Params:
+    """Stacked int8 OAR params → packed blocks for the v2 kernel.
+
+    Input: the ``params["oar"]`` pytree from runtime.quantize (leading L
+    dim on every leaf).  Output: {"vec": [L,1,V] f32, "w1": [L,d,6d] int8,
+    "w2": [L,4d,d] int8}.
+    """
+    import numpy as np
+    p = oar_params
+    L, d, _ = p["attn"]["qkv"]["wq"].shape
+    off = _vec_offsets(d)
+    vec = np.zeros((L, 1, off["__total__"]), np.float32)
+
+    def put(name, arr):
+        a, b = off[name]
+        vec[:, 0, a:b] = np.asarray(arr, np.float32).reshape(L, b - a)
+
+    put("ln1", p["ln1"]["w"])
+    put("ln2", p["ln2"]["w"])
+    put("qkv_ws", p["attn"]["qkv"]["ws"])
+    put("qkv_b", p["attn"]["qkv"]["b"])
+    put("proj_ws", p["attn"]["proj"]["ws"])
+    put("proj_b", p["attn"]["proj"]["b"])
+    put("fc_ws", p["mlp"]["fc"]["ws"])
+    put("pj_ws", p["mlp"]["proj"]["ws"])
+    w1 = np.concatenate([np.asarray(p["attn"]["qkv"]["wq"]),
+                         np.asarray(p["attn"]["proj"]["wq"]),
+                         np.asarray(p["mlp"]["fc"]["wq"])], axis=-1)
+    return {"vec": jnp.asarray(vec), "w1": jnp.asarray(w1),
+            "w2": p["mlp"]["proj"]["wq"]}
+
+
+def _kernel_v2(nblk_ref, cl_ref,                 # scalar prefetch
+               x_ref, vec_ref, w1_ref, w2_ref, kvk_ref, kvv_ref, pool_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, q_scr, m_scr, den_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               kv_kind: str, eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    def load_kv(ref, b):
+        blk = ref[0, b]                           # [bs, HD] storage dtype
+        if kv_kind == "int8":
+            return (blk.astype(jnp.float32)
+                    * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16)
+        return blk.astype(jnp.bfloat16)
+
+    pool = pool_ref[:]                             # [HD, H] f32
+
+    # ---- ns == 0: hidden init, QKV, self-term seeds the flash state ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, w1_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        q_scr[:] = q
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        # seed flash state with the new token's own (k, v)
+        self_logit = jax.lax.dot_general(
+            (k_new * q).astype(jnp.bfloat16), pool.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [B, H]
+        m_scr[:, :H] = self_logit
+        den_scr[:, :H] = jnp.ones_like(self_logit)
+        acc_scr[:] = v_new
+
+    # ---- every valid S-block: flash update ----
+    @pl.when(ns < nblk_ref[0])
+    def _():
+        q = q_scr[:]
+        qb = q.astype(jnp.bfloat16)
+        base = ns * bs
+        spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+        valid = spos < cl
+        for b in range(B):
+            kmat = load_kv(kvk_ref, b)            # [bs, HD] bf16
+            vmat = load_kv(kvv_ref, b)
+            g = kmat * qb[b][None, :]
+            logits = jax.lax.dot_general(
+                g, pool.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # [bs, H]
+            logits = jnp.where(valid, logits, -jnp.inf)
+            m_old = m_scr[b:b + 1, :H]                         # [1, H]
+            m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                               keepdims=True))
+            corr = jnp.exp(m_old - m_new)                      # [1, H]
+            p = jnp.exp(logits - m_new)                        # [bs, H]
+            den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
+                                                        keepdims=True)
+            corr_lanes = jax.lax.dot_general(
+                corr.astype(jnp.bfloat16), pool.T.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [1, HD]
+            w_lanes = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), pool.T.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [bs, HD]
+            blk_mix = jnp.sum(w_lanes.astype(jnp.bfloat16) * vmat,
+                              axis=0, keepdims=True).astype(jnp.float32)
+            acc_scr[b:b + 1, :] = acc_scr[b:b + 1, :] * corr_lanes + blk_mix
+            m_scr[b:b + 1, :H] = m_new
+            den_scr[b:b + 1, :H] = den
+
+    # ---- ns == NS-1: finalize attention, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes = jax.lax.dot_general(
+            den_scr[:, :H].astype(jnp.bfloat16),
+            pool.T.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, w1_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, w1_ref[0, :, 4 * d:8 * d], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, w2_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head",))
+def fused_decode_step_v2(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Packed-block fused decode step.
+
+    packed: output of :func:`pack_fused_oar`; x: [B, 1, d];
+    kv_k/kv_v: [L, B, S, H, Dh] in bf16 / int8 (KV_INT8_SCALE grid) / fp8.
+    Returns (h [B, 1, d] bf16 pre-ln_oar, kv_k, kv_v updated).
+    """
+    L, B, S, H, Dh = kv_k.shape
+    d = x.shape[-1]
+    HD = H * Dh
+
+    # S-blocking: prefer ~512-row blocks; bs must be a sublane multiple
+    # and divide S
+    bs = S
+    for cand in (552, 512, 416, 384, 368, 276, 256):
+        if S % cand == 0:
+            bs = cand
+            break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    kv_kind = ("int8" if kv_k.dtype == jnp.int8 else
+               "bf16" if kv_k.dtype == jnp.bfloat16 else "fp8")
+    kvk = kv_k.reshape(L, B, S, HD)
+    kvv = kv_v.reshape(L, B, S, HD)
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    def const_l(shape):
+        return pl.BlockSpec((1,) + shape, lambda l, ns, *_: (l,) + (0,)
+                            * len(shape))
+
+    def kv_spec():
+        # clamp the S-block index to the last block that intersects the
+        # prefix; repeated indices skip the DMA re-fetch
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            const_l((1, packed["vec"].shape[-1])),        # vec
+            const_l((d, 8 * d)),                          # w1
+            const_l((4 * d, d)),                          # w2
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # h_out
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),   # h
+                        pltpu.VMEM((B, HD), jnp.float32),  # q
+                        pltpu.VMEM((B, 128), jnp.float32),  # m
+                        pltpu.VMEM((B, 128), jnp.float32),  # den
+                        pltpu.VMEM((B, HD), jnp.float32)],  # acc
+    )
+
+    kernel = functools.partial(_kernel_v2, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh, kv_kind=kv_kind)
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], packed["w1"],
+      packed["w2"], kvk, kvv, pool)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, H, Dh)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, H, Dh)
+    if kv_k.dtype == jnp.int8:
+        k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32)
+                                   * KV_INT8_SCALE), -127, 127)
+        v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32)
+                                   * KV_INT8_SCALE), -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0, 0))
+    return h_out[:, None, :], kv_k, kv_v

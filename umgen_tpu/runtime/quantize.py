@@ -64,3 +64,19 @@ def quantize_params_int8(params: Params,
 
         out[key] = walk(sub, key)
     return out
+
+
+def pack_fused(params: Params) -> Params:
+    """Add ``oar_packed`` blocks for the v2 fused decode kernel.
+
+    Requires the OAR stack to be int8-quantized first
+    (:func:`quantize_params_int8`).  The packed copy adds ~262 MB on
+    device; the kernel streams it instead of the per-tensor OAR leaves.
+    """
+    from umgen_tpu.ops.decode_kernel import pack_fused_oar
+    if "wq" not in params["oar"]["attn"]["qkv"]:
+        raise ValueError("pack_fused requires int8-quantized OAR params "
+                         "(run quantize_params_int8 first)")
+    out = dict(params)
+    out["oar_packed"] = pack_fused_oar(params["oar"])
+    return out

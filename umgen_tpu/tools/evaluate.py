@@ -135,6 +135,9 @@ def main(argv: Optional[list] = None) -> int:
         params = quantize_params_int8(
             params, keys=ALL_STACK_KEYS if args.int8 == "all"
             else DECODE_KEYS)
+        if cfg.fused_oar_kernel:
+            from umgen_tpu.runtime.quantize import pack_fused
+            params = pack_fused(params)
 
     # ---- detokenizers ----
     map_dec = image_dec = None
