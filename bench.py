@@ -54,15 +54,20 @@ def main():
 
     pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
     window = os.environ.get("UMGEN_BENCH_WINDOW")
+    # fused v3 decode kernel is the default serving config on TPU
+    import jax as _jax
+    fused_default = "1" if _jax.default_backend() == "tpu" else "0"
+    fused = os.environ.get("UMGEN_BENCH_FUSED", fused_default) == "1"
+    oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
+                            "int8" if fused else kv_dtype)
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
-                      oar_cache_dtype=kv_dtype,
+                      oar_cache_dtype=oar_kv,
                       oar_pos_unroll=pos_unroll,
                       tar_cache_window=int(window) if window else None,
                       speculative_k=int(os.environ.get(
                           "UMGEN_BENCH_SPEC_K", "0")),
-                      fused_oar_kernel=os.environ.get(
-                          "UMGEN_BENCH_FUSED") == "1").scaled(scale)
+                      fused_oar_kernel=fused).scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -136,8 +141,9 @@ def main():
         "metric": "frames_per_sec_per_chip",
         "value": round(fps_chip, 4),
         "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
-                f"tar={tar_mode}, kv={kv_dtype}"
-                f"{', int8-OAR' if w8 else ''}; p50 frame latency "
+                f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
+                f"{', int8-OAR' if w8 else ''}"
+                f"{', fused-v3' if fused else ''}; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
                 f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),

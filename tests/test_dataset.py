@@ -56,3 +56,35 @@ def test_pose_diff_geometry():
     # synthetic ego moves forward ~speed*0.1*gap each sampled step
     assert np.all(pose[:, 0] > 0)          # dx forward
     assert np.all(np.abs(pose[:, 2]) < 0.5)  # small heading change
+
+
+# ---------------------------------------------------------------------------
+# image-loading transforms (data/loading.py; parity with ref loading.py)
+# ---------------------------------------------------------------------------
+def test_loading_transforms(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+    from umgen_tpu.data.loading import (LoadMultiViewImageFromFiles,
+                                        ResizeCropFlipRotImage,
+                                        ToTensorCollect)
+    paths = []
+    for i in range(2):
+        img = np.full((512, 1024, 3), 40 * (i + 1), np.uint8)
+        p = str(tmp_path / f"cam{i}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    res = {"img_filename": paths,
+           "intrinsics": [np.eye(4, dtype=np.float32) * 500.0
+                          for _ in range(2)]}
+    res = LoadMultiViewImageFromFiles(to_float32=True)(res)
+    assert len(res["img"]) == 2 and res["scale_factor"] == 1.0
+    res = ResizeCropFlipRotImage({"final_dim": (256, 512),
+                                  "resize_lim": (1.0, 1.0),
+                                  "bot_pct_lim": (0.0, 0.0),
+                                  "rand_flip": False,
+                                  "rot_lim": (0.0, 0.0)})(res)
+    assert res["img"][0].shape[:2] == (256, 512)
+    # the ida transform scaled the intrinsics by the resize factor (0.5)
+    assert abs(res["intrinsics"][0][0, 0] - 250.0) < 1e-3
+    res = ToTensorCollect(["img"])(res)
+    assert res["img"].shape == (2, 3, 256, 512)

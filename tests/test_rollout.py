@@ -121,3 +121,32 @@ def test_sampled_mode_runs():
     # different seeds → different streams
     out2 = jax.jit(ro.frame_step)(params, inputs, jax.random.PRNGKey(4))
     assert not np.array_equal(toks, np.asarray(out2.tokens))
+
+
+def test_oar_step_int8_cache_matches_bf16():
+    """Scale-aware int8 KV storage (XLA path) tracks the bf16 cache."""
+    from umgen_tpu.models.rollout import KV_INT8_SCALE
+    cfg = ModelConfig(dtype="float32", use_pallas_attention=False,
+                      n_oar_layer=2, oar_cache_dtype="bfloat16")
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.float32),
+              "ln_oar": nn.init_layernorm(d, jnp.float32)}
+    rng = np.random.default_rng(0)
+    B, S, cl = 1, 64, 40
+    kvf = rng.normal(0, 0.5, (2, B, S, cfg.n_head, cfg.head_dim))
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.float32)
+    kv_bf = jnp.asarray(kvf, jnp.bfloat16)
+    k8 = jnp.clip(jnp.round(jnp.asarray(kvf) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8)
+    h_ref, kr, _ = ro.oar_step(params, x, kv_bf, kv_bf, jnp.int32(cl))
+    h_i8, k8r, _ = ro.oar_step(params, x, k8, k8, jnp.int32(cl))
+    a, b = np.asarray(h_ref, np.float32), np.asarray(h_i8, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.08
+    # new K row written back on the int8 grid
+    got = np.asarray(k8r)[:, :, cl].astype(np.float32) / KV_INT8_SCALE
+    want = np.asarray(kr.astype(jnp.float32))[:, :, cl]
+    np.testing.assert_allclose(got, want, atol=0.1)

@@ -38,6 +38,23 @@ Params = Dict[str, Any]
 
 MAX_BOXES = 62   # ego + 60 slots + candidate headroom
 
+KV_INT8_SCALE = 16.0     # fixed-grid int8 KV storage (matches decode_kernel)
+
+
+def _kv_store(x: "jnp.ndarray", dtype) -> "jnp.ndarray":
+    """Write K/V activations into cache storage (scale-aware for int8)."""
+    if jnp.dtype(dtype) == jnp.int8:
+        return jnp.clip(jnp.round(x.astype(jnp.float32) * KV_INT8_SCALE),
+                        -127, 127).astype(jnp.int8)
+    return x.astype(dtype)
+
+
+def _kv_load(c: "jnp.ndarray", dtype) -> "jnp.ndarray":
+    """Read cache storage back to compute dtype (scale-aware for int8)."""
+    if c.dtype == jnp.int8:
+        return (c.astype(jnp.float32) * (1.0 / KV_INT8_SCALE)).astype(dtype)
+    return c.astype(dtype)
+
 
 class OarState(NamedTuple):
     """Carried state of the OAR decode within one frame."""
@@ -114,12 +131,18 @@ class Rollout:
         n_head = cfg.n_head
         B, Q, D = x.shape
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
-            # v2: packed-block kernel (5 DMAs/layer, S-blocked flash
-            # attention with cache-length clamped fetches)
-            from umgen_tpu.ops.decode_kernel import fused_decode_step_v2
-            h, kv_k, kv_v = fused_decode_step_v2(params["oar_packed"], x,
-                                                 kv_k, kv_v, cache_len,
-                                                 n_head=n_head)
+            # packed-block kernels: v3 (multi-stream, MXU-only attention)
+            # on int8 caches; v2 (burst-fetch) otherwise
+            if kv_k.dtype == jnp.int8:
+                from umgen_tpu.ops.decode_kernel import fused_decode_step_v3
+                h, kv_k, kv_v = fused_decode_step_v3(
+                    params["oar_packed"], x, kv_k, kv_v, cache_len,
+                    n_head=n_head)
+            else:
+                from umgen_tpu.ops.decode_kernel import fused_decode_step_v2
+                h, kv_k, kv_v = fused_decode_step_v2(
+                    params["oar_packed"], x, kv_k, kv_v, cache_len,
+                    n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         if cfg.fused_oar_kernel and Q == 1 \
                 and "wq" in params["oar"]["attn"]["qkv"]:
@@ -145,7 +168,7 @@ class Rollout:
             k_new = k_new.reshape(B, Q, n_head, Dh)
             v_new = v_new.reshape(B, Q, n_head, Dh)
 
-            lp = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
+            lp = jnp.einsum("bqhd,bkhd->bhqk", q, _kv_load(ck, q.dtype),
                             preferred_element_type=jnp.float32) * scale
             lp = jnp.where(prefix_valid, lp, -jnp.inf)
             ls = jnp.einsum("bqhd,bkhd->bhqk", q, k_new,
@@ -160,11 +183,12 @@ class Rollout:
                      + jnp.sum(es, -1, keepdims=True))
             wp = (ep / denom).astype(q.dtype)
             ws = (es / denom).astype(q.dtype)
-            y = (jnp.einsum("bhqk,bkhd->bqhd", wp, cv.astype(q.dtype))
+            y = (jnp.einsum("bhqk,bkhd->bqhd", wp, _kv_load(cv, q.dtype))
                  + jnp.einsum("bhqk,bkhd->bqhd", ws, v_new))
             h = h + nn.linear(p["attn"]["proj"], y.reshape(B, Q, D))
             h = h + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], h))
-            return h, (k_new.astype(kv_k.dtype), v_new.astype(kv_v.dtype))
+            return h, (_kv_store(k_new, kv_k.dtype),
+                       _kv_store(v_new, kv_v.dtype))
 
         unroll = cfg.oar_layer_unroll or cfg.n_oar_layer
         h, (ks, vs) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v),

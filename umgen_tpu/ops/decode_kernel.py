@@ -301,8 +301,10 @@ def pack_fused_oar(oar_params: Params) -> Params:
     """Stacked int8 OAR params → packed blocks for the v2 kernel.
 
     Input: the ``params["oar"]`` pytree from runtime.quantize (leading L
-    dim on every leaf).  Output: {"vec": [L,1,V] f32, "w1": [L,d,6d] int8,
-    "w2": [L,4d,d] int8}.
+    dim on every leaf).  Output: {"vec": [L,1,V] f32, "wqp": [L,d,4d] int8 (qkv‖proj),
+    "wfc": [L,d,4d] int8, "wpj": [L,4d,d] int8} — three weight streams
+    (single-stream HBM DMA tops out ~260 GB/s on v5e; concurrent streams
+    reach ~440).
     """
     import numpy as np
     p = oar_params
@@ -322,15 +324,15 @@ def pack_fused_oar(oar_params: Params) -> Params:
     put("proj_b", p["attn"]["proj"]["b"])
     put("fc_ws", p["mlp"]["fc"]["ws"])
     put("pj_ws", p["mlp"]["proj"]["ws"])
-    w1 = np.concatenate([np.asarray(p["attn"]["qkv"]["wq"]),
-                         np.asarray(p["attn"]["proj"]["wq"]),
-                         np.asarray(p["mlp"]["fc"]["wq"])], axis=-1)
-    return {"vec": jnp.asarray(vec), "w1": jnp.asarray(w1),
-            "w2": p["mlp"]["proj"]["wq"]}
+    wqp = np.concatenate([np.asarray(p["attn"]["qkv"]["wq"]),
+                          np.asarray(p["attn"]["proj"]["wq"])], axis=-1)
+    return {"vec": jnp.asarray(vec), "wqp": jnp.asarray(wqp),
+            "wfc": p["mlp"]["fc"]["wq"], "wpj": p["mlp"]["proj"]["wq"]}
 
 
 def _kernel_v2(nblk_ref, cl_ref,                 # scalar prefetch
-               x_ref, vec_ref, w1_ref, w2_ref, kvk_ref, kvv_ref, pool_ref,
+               x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
+               kvk_ref, kvv_ref, pool_ref,
                h_out_ref, kvnew_ref,
                h_scr, q_scr, m_scr, den_scr, acc_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
@@ -379,7 +381,7 @@ def _kernel_v2(nblk_ref, cl_ref,                 # scalar prefetch
             h_scr[:] = x_ref[:].astype(jnp.float32)
         h = h_scr[:]
         a = layer_norm(h, vec_slice("ln1"))
-        qkv = qdot(a, w1_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
                    vec_slice("qkv_b"))
         q = qkv[:, :HD]
         k_new = qkv[:, HD:2 * HD]
@@ -442,14 +444,14 @@ def _kernel_v2(nblk_ref, cl_ref,                 # scalar prefetch
             pool.T.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # [B, HD]
         y = acc_scr[:] / den_lanes
-        y = qdot(y, w1_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
                  vec_slice("proj_b"))
         h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
              ).astype(jnp.float32)
         a2 = layer_norm(h, vec_slice("ln2"))
-        hid = qdot(a2, w1_ref[0, :, 4 * d:8 * d], vec_slice("fc_ws"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
         hid = _gelu_exact(hid)
-        y2 = qdot(hid, w2_ref[0], vec_slice("pj_ws"))
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
         h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
              ).astype(jnp.float32)
         h_scr[:] = h
@@ -515,8 +517,9 @@ def fused_decode_step_v2(packed: Params, x: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),        # x
             const_l((1, packed["vec"].shape[-1])),        # vec
-            const_l((d, 8 * d)),                          # w1
-            const_l((4 * d, d)),                          # w2
+            const_l((d, 4 * d)),                          # wqp
+            const_l((d, 4 * d)),                          # wfc
+            const_l((4 * d, d)),                          # wpj
             kv_spec(), kv_spec(),
             pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
         ],
@@ -543,8 +546,8 @@ def fused_decode_step_v2(packed: Params, x: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], packed["w1"],
-      packed["w2"], kvk, kvv, pool)
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], packed["wqp"],
+      packed["wfc"], packed["wpj"], kvk, kvv, pool)
 
     k_new = kvnew[:, :, :HD].reshape(L, B, 1, H, Dh)
     v_new = kvnew[:, :, HD:].reshape(L, B, 1, H, Dh)
@@ -553,6 +556,265 @@ def fused_decode_step_v2(packed: Params, x: jnp.ndarray,
                                    * KV_INT8_SCALE), -127, 127)
         v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32)
                                    * KV_INT8_SCALE), -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0, 0))
+    return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v3: multi-stream smooth pipeline + MXU-only attention
+# ===========================================================================
+# v2 still hit two walls (measured): a single HBM->VMEM DMA stream runs at
+# ~260 GB/s on v5e (8 concurrent streams: ~440 GB/s), and the per-S-block
+# attention spent ~1 ms/step in [S, HD]-sized VPU passes (fp8/int8 up-
+# conversion + elementwise).  v3:
+#   * splits the layer's weights into per-ns streams — qkv‖proj fetched at
+#     ns=0, fc at ns=2, pj at ns=1 (via lagged index maps) — so every grid
+#     step carries ~3 MB over 3-4 concurrent streams instead of one
+#     7 MB burst at ns=0;
+#   * logits via ONE int8 MXU dot per block: logits[s,h] = k_i8[s,:] @
+#     (q ⊙ pool)_i8[:,h] — the int8 KV block is consumed directly, no
+#     upconversion, no [S, HD] elementwise;
+#   * value mix via ONE dim-0-contraction dot: (p [bs,H])ᵀ·V [bs,HD] →
+#     [H, HD], head-extracted with a poolᵀ mask-reduce ([H, HD] tiny).
+# Requires int8 KV storage (KV_INT8_SCALE grid).
+
+def _kernel_v3(nblk_ref, cl_ref,
+               x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
+               kvk_ref, kvv_ref, pool_ref, poolt_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    pool = pool_ref[:]                 # [HD, H] f32
+    poolt = poolt_ref[:]               # [H, HD] f32
+
+    # ---- ns == 0: hidden init, QKV, quantized q-pool, self-term ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        # per-batch-row quantized (q ⊙ pool): [B*d? no — B rows stacked]
+        for b in range(B):
+            qp = q[b][:, None] * pool                       # [HD, H] f32
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_i8 = jnp.clip(jnp.round(qp / sq), -127, 127)
+            qp_scr[b * HD:(b + 1) * HD, :H] = qp_i8          # store as f32
+            den_scr[b:b + 1, 120:121] = sq[None, None]       # stash scale
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [B, H]
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- every valid S-block: MXU flash update ----
+    @pl.when(ns < nblk_ref[0])
+    def _():
+        base = ns * bs
+        spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+        valid = spos < cl
+        for b in range(B):
+            kmat = kvk_ref[0, b]                             # [bs, HD] i8
+            vmat = kvv_ref[0, b]
+            qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
+            sq = den_scr[b, 120]
+            li = jax.lax.dot_general(kmat, qp_i8,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            logits = (li.astype(jnp.float32)
+                      * (sq * scale / KV_INT8_SCALE))        # [bs, H]
+            logits = jnp.where(valid, logits, -jnp.inf)
+            m_old = m_scr[b:b + 1, :H]
+            m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                               keepdims=True))
+            corr = jnp.exp(m_old - m_new)
+            p = jnp.exp(logits - m_new)                      # [bs, H] f32
+            den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
+                                                        keepdims=True)
+            part = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                (vmat.astype(jnp.bfloat16)
+                 * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [H, HD]
+            blk_mix = jnp.sum(part * poolt, axis=0,
+                              keepdims=True)                 # [1, HD]
+            corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                                 keepdims=True)              # [1, HD]
+            acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
+                                   + blk_mix)
+            m_scr[b:b + 1, :H] = m_new
+            den_scr[b:b + 1, :H] = den
+
+    # ---- ns == NS-1: finalize, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)  # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head",))
+def fused_decode_step_v3(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-stream fused decode step.  Requires int8 KV caches
+    (KV_INT8_SCALE grid) and pack_fused_oar params."""
+    L, B, S, H, Dh = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v3 requires int8 KV storage"
+    d = x.shape[-1]
+    HD = H * Dh
+
+    bs = S
+    for cand in (552, 512, 416, 384, 368, 276, 256):
+        if S % cand == 0:
+            bs = cand
+            break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    kvk = kv_k.reshape(L, B, S, HD)
+    kvv = kv_v.reshape(L, B, S, HD)
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        # fetch layer l's block at ns == lag_ns (buffer carries the
+        # previous layer's block until then)
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_: (jnp.maximum(l - (ns < lag_ns), 0),)
+            + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 4 * d)),                             # wqp
+            lagged((d, 4 * d), lag_fc),                   # wfc
+            lagged((4 * d, d), lag_pj),                   # wpj
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),       # h
+                        pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
+                        pltpu.VMEM((B, 128), jnp.float32),      # m
+                        pltpu.VMEM((B, 128), jnp.float32),      # den (+sq)
+                        pltpu.VMEM((B, HD), jnp.float32)],      # acc
+    )
+
+    kernel = functools.partial(_kernel_v3, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc, wpj,
+      kvk, kvv, pool, poolt)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, H, Dh)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, H, Dh)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
     cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
     kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
                                         (0, 0, cl0, 0, 0))

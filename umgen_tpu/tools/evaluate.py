@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "map/image segments (0 = off)")
     p.add_argument("--tar_cache_window", type=int, default=None,
                    help="temporal ring length (default: cond_frames)")
+    p.add_argument("--fused_oar", action="store_true",
+                   help="single-launch Pallas decode kernel (TPU; forces "
+                   "int8 OAR KV storage and requires --int8 != off)")
+    p.add_argument("--oar_kv_dtype", type=str, default=None,
+                   help="override the OAR cache dtype separately "
+                   "(e.g. int8 for the fused kernel)")
     return p
 
 
@@ -101,8 +107,11 @@ def main(argv: Optional[list] = None) -> int:
                       sample_method=args.sample_method,
                       tar_mode=args.tar_mode,
                       tar_cache_dtype=args.kv_dtype,
-                      oar_cache_dtype=args.kv_dtype,
+                      oar_cache_dtype=(args.oar_kv_dtype or
+                                       ("int8" if args.fused_oar
+                                        else args.kv_dtype)),
                       speculative_k=args.speculative_k,
+                      fused_oar_kernel=args.fused_oar,
                       tar_cache_window=args.tar_cache_window).scaled(
                           args.model_scale)
     infer_cfg = InferConfig.for_task(args.infer_task,
