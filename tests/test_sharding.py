@@ -88,3 +88,27 @@ def test_generator_with_sharded_params(setup):
         cond = make_token_batch(model.layout, T=2, B=1, seed=1, config=cfg)
         out = gen.generate(cond, new_frames=1, cond_frames=2)
     assert out["pose"].shape == (1, 3, 3)
+
+
+def test_cached_rollout_sharded_matches_unsharded(setup):
+    """Temporal-cache rollout under a dp=2/tp=2 mesh: the TAR rings carry
+    explicit dp/tp sharding constraints (Generator(mesh=...)) and the
+    token stream must match the single-device run (greedy, fp32)."""
+    cfg, model, params = setup
+    from dataclasses import replace
+    cfg_c = replace(cfg, tar_mode="temporal_cache")
+    model_c = UMGen(cfg_c)
+
+    cond = make_token_batch(model_c.layout, T=3, B=2, seed=2, config=cfg_c)
+    ref = Generator(model_c, params, seed=0).generate(
+        cond, new_frames=2, cond_frames=3, input_cond_frames=3)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        gen = Generator(model_c, sp, seed=0, mesh=mesh)
+        out = gen.generate(cond, new_frames=2, cond_frames=3,
+                           input_cond_frames=3)
+    for m in model_c.layout.mod_order:
+        agree = (out[m][:, 3:] == ref[m][:, 3:]).mean()
+        assert agree >= 0.995, (m, agree)

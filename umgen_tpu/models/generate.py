@@ -32,12 +32,37 @@ Params = Dict[str, Any]
 
 class Generator:
     def __init__(self, model: UMGen, params: Params, seed: int = 0,
-                 donate_kv: bool = True):
+                 donate_kv: bool = True, mesh=None):
+        """mesh: optional `jax.sharding.Mesh` with ("dp", "tp") axes for
+        multi-chip rollouts — scenes shard over dp, attention heads and the
+        TAR rings over tp.  Pass params already placed via
+        `parallel.mesh.shard_params`; raw numpy conditioning is sharded
+        here per frame."""
         self.model = model
         self.params = params
         self.rollout = Rollout(model)
         self.rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
         self._step_cache: Dict[Any, Any] = {}
+
+    def _constrained(self, fn):
+        """Wrap a (outputs, cache)-returning step so the TAR rings keep
+        their dp/tp layout inside the compiled program."""
+        if self.mesh is None:
+            return fn
+        from umgen_tpu.parallel.mesh import constrain_rollout_cache
+
+        def wrapped(*args, **kwargs):
+            out, cache = fn(*args, **kwargs)
+            return out, constrain_rollout_cache(cache, self.mesh)
+
+        return wrapped
+
+    def _place_inputs(self, dev_inputs):
+        if self.mesh is None:
+            return dev_inputs
+        from umgen_tpu.parallel.mesh import shard_batch
+        return shard_batch(dev_inputs, self.mesh)
 
     def _step_fn(self, variant: str):
         fn = self._step_cache.get(variant)
@@ -119,8 +144,8 @@ class Generator:
                 init = None
 
             self.rng, step_rng = jax.random.split(self.rng)
-            dev_inputs = {m: jnp.asarray(v, dtype=jnp.int32)
-                          for m, v in cond.items()}
+            dev_inputs = self._place_inputs(
+                {m: jnp.asarray(v, dtype=jnp.int32) for m, v in cond.items()})
             if control_bbox is not None:
                 fn = self._step_fn("pose_bbox")
                 res = fn(self.params, dev_inputs, step_rng, pose_override,
@@ -169,8 +194,8 @@ class Generator:
 
         # prefill creates the rings; the steady-state step donates them so
         # input/output copies never coexist (the rings are multi-GB)
-        prefill = jax.jit(self.rollout.frame_step_prefill)
-        step_fn = jax.jit(self.rollout.frame_step_cached,
+        prefill = jax.jit(self._constrained(self.rollout.frame_step_prefill))
+        step_fn = jax.jit(self._constrained(self.rollout.frame_step_cached),
                           donate_argnums=(2,))
 
         frames = range(new_frames)
@@ -197,8 +222,8 @@ class Generator:
 
             self.rng, step_rng = jax.random.split(self.rng)
             if idx == 0:
-                dev_inputs = {m: jnp.asarray(out[m], dtype=jnp.int32)
-                              for m in mods}
+                dev_inputs = self._place_inputs(
+                    {m: jnp.asarray(out[m], dtype=jnp.int32) for m in mods})
                 res, cache = prefill(self.params, dev_inputs,
                                      step_rng, pose_override=pose_override,
                                      control_bbox=control_bbox)
@@ -210,8 +235,9 @@ class Generator:
             tokens = np.asarray(jax.device_get(res.tokens))
             frame = {m: tokens[:, sl[m]] for m in mods}
             # the generated frame becomes the next step's ingested raw frame
-            newest = {m: jnp.asarray(frame[m][:, None], jnp.int32)
-                      for m in mods}
+            newest = self._place_inputs(
+                {m: jnp.asarray(frame[m][:, None], jnp.int32)
+                 for m in mods})
             for m in mods:
                 if frame_control and init is not None and m == "pose":
                     new = np.asarray(pose_override)[:, None]

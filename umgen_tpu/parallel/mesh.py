@@ -106,6 +106,39 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_sharding(params, mesh))
 
 
+# ---------------------------------------------------------------------------
+# inference-cache sharding (temporal-cache rollouts)
+# ---------------------------------------------------------------------------
+def _ring_spec(shape, mesh: Mesh) -> P:
+    """TAR ring [L, B*S, T_max, H, Dh]: scenes on dp (dim1 is B-major so a
+    dp split along it is a scene split), heads on tp."""
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    return P(None,
+             "dp" if shape[1] % dp == 0 and dp > 1 else None,
+             None,
+             "tp" if shape[3] % tp == 0 and tp > 1 else None,
+             None)
+
+
+def constrain_rollout_cache(cache, mesh: Optional[Mesh]):
+    """`lax.with_sharding_constraint` on every TAR ring in the cache dict.
+
+    Applied inside the jitted prefill/step so GSPMD keeps the multi-GB
+    rings distributed (scene batch over dp, heads over tp) instead of
+    replicating carried state.  No-op without a mesh."""
+    if mesh is None or mesh.size == 1:
+        return cache
+
+    def walk(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 5:
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, _ring_spec(leaf.shape, mesh)))
+        return leaf
+
+    return jax.tree.map(walk, cache)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
     return {k: jax.device_put(v, data_sharding(mesh, np.ndim(v)))
             for k, v in batch.items()}
