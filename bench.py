@@ -80,7 +80,7 @@ def main():
             params, keys=ALL_STACK_KEYS if w8_mode == "all" else DECODE_KEYS)
         if cfg.fused_oar_kernel:
             from umgen_tpu.runtime.quantize import pack_fused
-            params = pack_fused(params)
+            params = pack_fused(params, cfg.oar_cache_dtype)
     jax.block_until_ready(params)
 
     raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)

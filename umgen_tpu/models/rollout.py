@@ -131,11 +131,14 @@ class Rollout:
         n_head = cfg.n_head
         B, Q, D = x.shape
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
-            # packed-block kernels: v3 (multi-stream, MXU-only attention)
-            # on int8 caches; v2 (burst-fetch) otherwise
+            # packed-block kernels: v4/v3 (multi-stream, MXU-only
+            # attention) on int8 caches; v2 (burst-fetch) otherwise
             if kv_k.dtype == jnp.int8:
-                from umgen_tpu.ops.decode_kernel import fused_decode_step_v3
-                h, kv_k, kv_v = fused_decode_step_v3(
+                from umgen_tpu.ops import decode_kernel as dk
+                fused = (dk.fused_decode_step_v4
+                         if "wqkv" in params["oar_packed"]
+                         else dk.fused_decode_step_v3)
+                h, kv_k, kv_v = fused(
                     params["oar_packed"], x, kv_k, kv_v, cache_len,
                     n_head=n_head)
             else:

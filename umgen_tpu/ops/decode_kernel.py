@@ -297,16 +297,8 @@ def _vec_offsets(d: int):
     return _VEC_OFF[d]
 
 
-def pack_fused_oar(oar_params: Params) -> Params:
-    """Stacked int8 OAR params → packed blocks for the v2 kernel.
-
-    Input: the ``params["oar"]`` pytree from runtime.quantize (leading L
-    dim on every leaf).  Output: {"vec": [L,1,V] f32, "wqp": [L,d,4d] int8 (qkv‖proj),
-    "wfc": [L,d,4d] int8, "wpj": [L,4d,d] int8} — three weight streams
-    (single-stream HBM DMA tops out ~260 GB/s on v5e; concurrent streams
-    reach ~440).
-    """
-    import numpy as np
+def _pack_vec(oar_params: Params) -> jnp.ndarray:
+    """All per-layer vectors (LNs, scales, biases) → one [L, 1, V] block."""
     p = oar_params
     L, d, _ = p["attn"]["qkv"]["wq"].shape
     off = _vec_offsets(d)
@@ -324,9 +316,22 @@ def pack_fused_oar(oar_params: Params) -> Params:
     put("proj_b", p["attn"]["proj"]["b"])
     put("fc_ws", p["mlp"]["fc"]["ws"])
     put("pj_ws", p["mlp"]["proj"]["ws"])
+    return jnp.asarray(vec)
+
+
+def pack_fused_oar(oar_params: Params) -> Params:
+    """Stacked int8 OAR params → packed blocks for the v2 kernel.
+
+    Input: the ``params["oar"]`` pytree from runtime.quantize (leading L
+    dim on every leaf).  Output: {"vec": [L,1,V] f32, "wqp": [L,d,4d] int8 (qkv‖proj),
+    "wfc": [L,d,4d] int8, "wpj": [L,4d,d] int8} — three weight streams
+    (single-stream HBM DMA tops out ~260 GB/s on v5e; concurrent streams
+    reach ~440).
+    """
+    p = oar_params
     wqp = np.concatenate([np.asarray(p["attn"]["qkv"]["wq"]),
                           np.asarray(p["attn"]["proj"]["wq"])], axis=-1)
-    return {"vec": jnp.asarray(vec), "wqp": jnp.asarray(wqp),
+    return {"vec": _pack_vec(p), "wqp": jnp.asarray(wqp),
             "wfc": p["mlp"]["fc"]["wq"], "wpj": p["mlp"]["proj"]["wq"]}
 
 
@@ -808,6 +813,307 @@ def fused_decode_step_v3(packed: Params, x: jnp.ndarray,
             vmem_limit_bytes=110 * 1024 * 1024),
     )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc, wpj,
       kvk, kvv, pool, poolt)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, H, Dh)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, H, Dh)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0, 0))
+    return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v4: balanced six-stream weight pipeline + whole-batch MXU attention
+# ===========================================================================
+# Two v3 costs remain (measured): the per-step DMA issue is lumpy — 3.26 MB
+# lands on the (l-1, NS-1) step while (l, 2) carries only the KV block — and
+# the attention work is a python loop over B (serial small dots + [bs, HD]
+# VPU elementwise per scene).  v4:
+#   * splits the layer's four matrices into SIX streams (qkv / proj / fc in
+#     column halves / pj in row halves) with staggered lag index maps, so
+#     every grid step issues ~2.0-2.6 MB over 3 concurrent streams — per
+#     the measured v5e DMA law concurrency is what buys bandwidth;
+#   * one int8 logits dot for the WHOLE batch: [B*bs, HD] @ [HD, B*H] with
+#     cross-scene (bi != bj) entries masked to -inf (wasted MXU flops are
+#     free at these sizes; the VPU softmax bookkeeping stays [B*bs, B*H]);
+#   * one value dot for the whole batch: p [B*bs, B*H] is block-diagonal
+#     after the mask, so a dim-0 contraction against V [B*bs, HD] yields
+#     per-scene [H, HD] row blocks directly;
+#   * V stays on the int8 grid through the mix (acc is carried at
+#     KV_INT8_SCALE and rescaled once at finalize) — no per-block [bs, HD]
+#     dequant multiply.
+# Requires int8 KV storage (KV_INT8_SCALE grid).
+
+def pack_fused_oar_v4(oar_params: Params) -> Params:
+    """Stacked int8 OAR params → six-stream packed blocks for v4."""
+    p = oar_params
+    L, d, _ = p["attn"]["qkv"]["wq"].shape
+    wfc = np.asarray(p["mlp"]["fc"]["wq"])
+    wpj = np.asarray(p["mlp"]["proj"]["wq"])
+    return {"vec": _pack_vec(p),
+            "wqkv": p["attn"]["qkv"]["wq"],
+            "wproj": p["attn"]["proj"]["wq"],
+            "wfca": jnp.asarray(wfc[:, :, :2 * d]),
+            "wfcb": jnp.asarray(wfc[:, :, 2 * d:]),
+            "wpja": jnp.asarray(wpj[:, :2 * d]),
+            "wpjb": jnp.asarray(wpj[:, 2 * d:])}
+
+
+def _kernel_v4(nblk_ref, cl_ref,
+               x_ref, vec_ref, wqkv_ref, wproj_ref, wfca_ref, wfcb_ref,
+               wpja_ref, wpjb_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, qp_scr, m_scr, den_scr, cs_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    BH = B * H
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    pool = pool_ref[:]                 # [HD, H] f32
+    poolt = poolt_ref[:]               # [H, HD] f32
+
+    # ---- ns == 0: hidden init, QKV, quantized q-pool, self-term ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqkv_ref[0], vec_slice("qkv_ws"), vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        for b in range(B):
+            qp = q[b][:, None] * pool                        # [HD, H] f32
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[:, b * H:(b + 1) * H] = jnp.clip(jnp.round(qp / sq),
+                                                    -127, 127)
+            cs_scr[0:1, b * H:(b + 1) * H] = jnp.full(
+                (1, H), 1.0, jnp.float32) * (sq * scale / KV_INT8_SCALE)
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [B, H]
+        for b in range(B):
+            m_scr[0:1, b * H:(b + 1) * H] = sl_all[b:b + 1]
+        den_scr[0:1, :BH] = jnp.ones((1, BH), jnp.float32)
+        acc_scr[:] = v_new * KV_INT8_SCALE
+
+    # ---- every valid S-block: one whole-batch MXU flash update ----
+    @pl.when(ns < nblk_ref[0])
+    def _():
+        base = ns * bs
+        k_all = kvk_ref[0].reshape(B * bs, HD)               # int8
+        v_all = kvv_ref[0].reshape(B * bs, HD)
+        qp_i8 = qp_scr[:, :BH].astype(jnp.int8)
+        li = jax.lax.dot_general(k_all, qp_i8,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        logits = li.astype(jnp.float32) * cs_scr[0:1, :BH]   # [B*bs, B*H]
+        row = jax.lax.broadcasted_iota(jnp.int32, (B * bs, BH), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B * bs, BH), 1)
+        same = (row // bs) == (col // H)
+        valid = same & (base + row % bs < cl)
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[0:1, :BH]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0, keepdims=True))
+        corr = jnp.exp(m_old - m_new)                        # [1, BH]
+        p = jnp.exp(logits - m_new)                          # [B*bs, BH]
+        den_scr[0:1, :BH] = den_scr[0:1, :BH] * corr \
+            + jnp.sum(p, axis=0, keepdims=True)
+        m_scr[0:1, :BH] = m_new
+        part = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_all.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [BH, HD]
+        for b in range(B):
+            corr_lanes = jax.lax.dot_general(
+                corr[0:1, b * H:(b + 1) * H], poolt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [1, HD]
+            blk_mix = jnp.sum(part[b * H:(b + 1) * H] * poolt, axis=0,
+                              keepdims=True)                 # [1, HD]
+            acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
+                                   + blk_mix)
+
+    # ---- ns == NS-1: finalize, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            den_lanes_rows.append(jax.lax.dot_general(
+                den_scr[0:1, b * H:(b + 1) * H], poolt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)  # [B, HD]
+        y = acc_scr[:] * (1.0 / KV_INT8_SCALE) / den_lanes
+        y = qdot(y, wproj_ref[0], vec_slice("proj_ws"), vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        sa = jnp.max(jnp.abs(a2), axis=-1, keepdims=True) / 127.0 + 1e-12
+        a2q = jnp.clip(jnp.round(a2 / sa), -127, 127).astype(jnp.int8)
+        fca, _ = off["fc_ws"]
+        fc_ws_a = vec_ref[0, 0, fca:fca + 2 * d]
+        fc_ws_b = vec_ref[0, 0, fca + 2 * d:fca + 4 * d]
+        hid_a = jax.lax.dot_general(a2q, wfca_ref[0], (((1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.int32
+                                    ).astype(jnp.float32) \
+            * sa * fc_ws_a[None, :].astype(jnp.float32)
+        hid_b = jax.lax.dot_general(a2q, wfcb_ref[0], (((1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.int32
+                                    ).astype(jnp.float32) \
+            * sa * fc_ws_b[None, :].astype(jnp.float32)
+        hid = _gelu_exact(jnp.concatenate([hid_a, hid_b], axis=-1))
+        sh = jnp.max(jnp.abs(hid), axis=-1, keepdims=True) / 127.0 + 1e-12
+        hq = jnp.clip(jnp.round(hid / sh), -127, 127).astype(jnp.int8)
+        y2 = (jax.lax.dot_general(hq[:, :2 * d], wpja_ref[0],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+              + jax.lax.dot_general(hq[:, 2 * d:], wpjb_ref[0],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+              ).astype(jnp.float32) * sh \
+            * vec_slice("pj_ws")[None, :].astype(jnp.float32)
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_v4(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int, block_s: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Balanced-stream, whole-batch fused decode step.  Requires int8 KV
+    (KV_INT8_SCALE grid) and :func:`pack_fused_oar_v4` params."""
+    L, B, S, H, Dh = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v4 requires int8 KV storage"
+    d = x.shape[-1]
+    HD = H * Dh
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 276, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    kvk = kv_k.reshape(L, B, S, HD)
+    kvv = kv_v.reshape(L, B, S, HD)
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_: (jnp.maximum(l - (ns < lag_ns), 0),)
+            + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    lag = lambda k: min(k, NS - 1)    # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 3 * d)),                             # wqkv
+            lagged((d, d), lag(1)),                       # wproj
+            lagged((d, 2 * d), lag(1)),                   # wfca
+            lagged((d, 2 * d), lag(2)),                   # wfcb
+            lagged((2 * d, d), lag(2)),                   # wpja
+            lagged((2 * d, d), lag(3)),                   # wpjb
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),        # h
+                        pltpu.VMEM((HD, 128), jnp.float32),     # q-pool i8
+                        pltpu.VMEM((1, 128), jnp.float32),      # m
+                        pltpu.VMEM((1, 128), jnp.float32),      # den
+                        pltpu.VMEM((1, 128), jnp.float32),      # col scales
+                        pltpu.VMEM((B, HD), jnp.float32)],      # acc
+    )
+
+    kernel = functools.partial(_kernel_v4, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"],
+      packed["wqkv"], packed["wproj"], packed["wfca"], packed["wfcb"],
+      packed["wpja"], packed["wpjb"], kvk, kvv, pool, poolt)
 
     k_new = kvnew[:, :, :HD].reshape(L, B, 1, H, Dh)
     v_new = kvnew[:, :, HD:].reshape(L, B, 1, H, Dh)

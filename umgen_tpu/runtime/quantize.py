@@ -66,17 +66,23 @@ def quantize_params_int8(params: Params,
     return out
 
 
-def pack_fused(params: Params) -> Params:
-    """Add ``oar_packed`` blocks for the v2 fused decode kernel.
+def pack_fused(params: Params, kv_dtype: str = "int8") -> Params:
+    """Add ``oar_packed`` blocks for the fused decode kernels.
 
     Requires the OAR stack to be int8-quantized first
     (:func:`quantize_params_int8`).  The packed copy adds ~262 MB on
     device; the kernel streams it instead of the per-tensor OAR leaves.
+    int8 KV caches get the v4 six-stream packing; anything else the
+    v2 burst packing.
     """
-    from umgen_tpu.ops.decode_kernel import pack_fused_oar
+    from umgen_tpu.ops.decode_kernel import (pack_fused_oar,
+                                             pack_fused_oar_v4)
     if "wq" not in params["oar"]["attn"]["qkv"]:
         raise ValueError("pack_fused requires int8-quantized OAR params "
                          "(run quantize_params_int8 first)")
     out = dict(params)
-    out["oar_packed"] = pack_fused_oar(params["oar"])
+    if kv_dtype == "int8":
+        out["oar_packed"] = pack_fused_oar_v4(params["oar"])
+    else:
+        out["oar_packed"] = pack_fused_oar(params["oar"])
     return out

@@ -146,7 +146,7 @@ def main(argv: Optional[list] = None) -> int:
             else DECODE_KEYS)
         if cfg.fused_oar_kernel:
             from umgen_tpu.runtime.quantize import pack_fused
-            params = pack_fused(params)
+            params = pack_fused(params, cfg.oar_cache_dtype)
 
     # ---- detokenizers ----
     map_dec = image_dec = None
