@@ -1,0 +1,129 @@
+"""Microbenchmark for the fused OAR decode-step kernels (real TPU).
+
+Measures steady-state per-step latency of each kernel generation at the
+flagship shape (L=36, d=768, H=16, Dh=48, S=2208) for B in {1, 2} plus the
+XLA oar_step reference. Usage:
+
+    python scripts/bench_decode_kernel.py [--versions v2,v3,v4] [--b 1,2]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_params(L, d, rng):
+    k = iter(jax.random.split(jax.random.PRNGKey(rng), 64))
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(next(k), shape, jnp.float32) * scale)
+
+    return {
+        "ln1": {"w": jnp.ones((L, d))},
+        "ln2": {"w": jnp.ones((L, d))},
+        "attn": {
+            "qkv": {"w": w((L, d, 3 * d)), "b": w((L, 3 * d))},
+            "proj": {"w": w((L, d, d)), "b": w((L, d))},
+        },
+        "mlp": {
+            "fc": {"w": w((L, d, 4 * d))},
+            "proj": {"w": w((L, 4 * d, d))},
+        },
+    }
+
+
+def quantize(p):
+    from umgen_tpu.runtime.quantize import _quantize_linear
+
+    def walk(t, name):
+        if isinstance(t, dict):
+            if "w" in t and name in ("qkv", "proj", "fc"):
+                return _quantize_linear(t)
+            return {k: walk(v, k) for k, v in t.items()}
+        return t
+
+    return walk(p, "")
+
+
+def timeit(fn, n=20):
+    fn()  # compile + warm
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--versions", default="v3,v4")
+    ap.add_argument("--b", default="1,2")
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=64,
+                    help="sequential steps per timing rep (amortizes host "
+                         "dispatch; per-step time is reported)")
+    args = ap.parse_args()
+
+    from umgen_tpu.ops import decode_kernel as dk
+
+    L, d, H, Dh, S = 36, 768, 16, 48, 2208
+    params = quantize(make_params(L, d, 0))
+
+    for B in [int(x) for x in args.b.split(",")]:
+        x = jnp.zeros((B, 1, d), jnp.bfloat16)
+        kv_shape = (L, B, S, H, Dh)
+        kv_i8 = (jnp.zeros(kv_shape, jnp.int8),
+                 jnp.zeros(kv_shape, jnp.int8))
+        cl = jnp.asarray(S - 8, jnp.int32)
+
+        for v in args.versions.split(","):
+            if v == "v2":
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v2
+            elif v == "v3":
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v3
+            elif v == "v4":
+                packed = dk.pack_fused_oar_v4(params)
+                fn = dk.fused_decode_step_v4
+            else:
+                continue
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def many(packed, x, kk, vv, fn=fn):
+                def body(c, _):
+                    x, kk, vv = c
+                    h, kk, vv = fn(packed, x, kk, vv, cl, n_head=H)
+                    return (h, kk, vv), ()
+
+                (h, kk, vv), _ = jax.lax.scan(body, (x, kk, vv), None,
+                                              length=args.steps)
+                return h, kk, vv
+
+            try:
+                kk = jnp.zeros(kv_shape, jnp.int8)
+                vv = jnp.zeros(kv_shape, jnp.int8)
+
+                def rep():
+                    nonlocal kk, vv
+                    h, kk, vv = many(packed, x, kk, vv)
+                    return h
+
+                dt = timeit(rep, n=args.n) / args.steps
+                print(f"B={B} {v}: {dt*1e3:.3f} ms/step")
+            except Exception as e:  # noqa: BLE001
+                print(f"B={B} {v}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

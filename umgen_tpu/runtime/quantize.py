@@ -66,14 +66,21 @@ def quantize_params_int8(params: Params,
     return out
 
 
-def pack_fused(params: Params, kv_dtype: str = "int8") -> Params:
+def pack_fused(params: Params, kv_dtype: str = "int8",
+               version: str = "v3") -> Params:
     """Add ``oar_packed`` blocks for the fused decode kernels.
 
     Requires the OAR stack to be int8-quantized first
     (:func:`quantize_params_int8`).  The packed copy adds ~262 MB on
     device; the kernel streams it instead of the per-tensor OAR leaves.
-    int8 KV caches get the v4 six-stream packing; anything else the
-    v2 burst packing.
+
+    int8 KV caches use the v3 multi-stream packing by default — clean
+    steady-state measurement (scripts/bench_decode_kernel.py, full
+    2208-row cache) has v3 at 2.22/3.71 ms per step (B=1/2) vs v4 at
+    5.6/7.2 ms: v4's whole-batch [B*bs, B*H] attention and six-stream
+    split LOSE to v3's per-scene MXU dots on v5e.  ``version="v4"``
+    keeps the experiment reachable.  Non-int8 caches use the v2 burst
+    packing (the only kernel that accepts bf16/fp8 storage).
     """
     from umgen_tpu.ops.decode_kernel import (pack_fused_oar,
                                              pack_fused_oar_v4)
@@ -81,7 +88,7 @@ def pack_fused(params: Params, kv_dtype: str = "int8") -> Params:
         raise ValueError("pack_fused requires int8-quantized OAR params "
                          "(run quantize_params_int8 first)")
     out = dict(params)
-    if kv_dtype == "int8":
+    if kv_dtype == "int8" and version == "v4":
         out["oar_packed"] = pack_fused_oar_v4(params["oar"])
     else:
         out["oar_packed"] = pack_fused_oar(params["oar"])
