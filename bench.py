@@ -54,7 +54,7 @@ def main():
 
     pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
     window = os.environ.get("UMGEN_BENCH_WINDOW")
-    # fused v3 decode kernel is the default serving config on TPU
+    # fused v5 decode kernel (flat int8 KV) is the default serving config on TPU
     import jax as _jax
     fused_default = "1" if _jax.default_backend() == "tpu" else "0"
     fused = os.environ.get("UMGEN_BENCH_FUSED", fused_default) == "1"
@@ -143,7 +143,7 @@ def main():
         "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
-                f"{', fused-v3' if fused else ''}; p50 frame latency "
+                f"{', fused-v5' if fused else ''}; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
                 f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),

@@ -96,8 +96,17 @@ def main():
             elif v == "v4":
                 packed = dk.pack_fused_oar_v4(params)
                 fn = dk.fused_decode_step_v4
+            elif v == "v5":
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v5
+            elif v == "v5flat":
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v5
+                shape = (L, B, S, H * Dh)      # 4-D lane-aligned cache
             else:
                 continue
+            if v != "v5flat":
+                shape = kv_shape
 
             @functools.partial(jax.jit, donate_argnums=(2, 3))
             def many(packed, x, kk, vv, fn=fn):
@@ -111,8 +120,8 @@ def main():
                 return h, kk, vv
 
             try:
-                kk = jnp.zeros(kv_shape, jnp.int8)
-                vv = jnp.zeros(kv_shape, jnp.int8)
+                kk = jnp.zeros(shape, jnp.int8)
+                vv = jnp.zeros(shape, jnp.int8)
 
                 def rep():
                     nonlocal kk, vv

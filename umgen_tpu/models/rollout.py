@@ -109,9 +109,18 @@ class Rollout:
         # +K slack rows: speculative verify chunks may push up to K-1
         # stale entries past a segment's end (never read, then overwritten)
         slack = cfg.speculative_k if cfg.speculative_k > 0 else 0
-        shape = (cfg.n_oar_layer, B, self.layout.input_len + slack,
-                 cfg.n_head, cfg.head_dim)
         dt = jnp.dtype(cfg.oar_cache_dtype)
+        if cfg.fused_oar_kernel and dt == jnp.int8:
+            # flat [L, B, S, H*Dh] storage for the v5 kernel: a 5-D cache
+            # (Dh=48 < the 128-lane tile) is lane-padded by XLA, and the
+            # kernel-facing reshape then forces a physical relayout copy of
+            # the WHOLE cache every decode step — measured 2.2x step time
+            # (scripts/bench_decode_kernel.py: 2.18 -> 1.01 ms/step at B=1)
+            shape = (cfg.n_oar_layer, B, self.layout.input_len + slack,
+                     cfg.n_head * cfg.head_dim)
+        else:
+            shape = (cfg.n_oar_layer, B, self.layout.input_len + slack,
+                     cfg.n_head, cfg.head_dim)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
     def oar_step(self, params: Params, x: jnp.ndarray,
@@ -135,9 +144,12 @@ class Rollout:
             # attention) on int8 caches; v2 (burst-fetch) otherwise
             if kv_k.dtype == jnp.int8:
                 from umgen_tpu.ops import decode_kernel as dk
-                fused = (dk.fused_decode_step_v4
-                         if "wqkv" in params["oar_packed"]
-                         else dk.fused_decode_step_v3)
+                if kv_k.ndim == 4:               # flat cache -> v5
+                    fused = dk.fused_decode_step_v5
+                elif "wqkv" in params["oar_packed"]:
+                    fused = dk.fused_decode_step_v4
+                else:
+                    fused = dk.fused_decode_step_v3
                 h, kv_k, kv_v = fused(
                     params["oar_packed"], x, kv_k, kv_v, cache_len,
                     n_head=n_head)
@@ -147,7 +159,7 @@ class Rollout:
                     params["oar_packed"], x, kv_k, kv_v, cache_len,
                     n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
-        if cfg.fused_oar_kernel and Q == 1 \
+        if cfg.fused_oar_kernel and Q == 1 and kv_k.ndim == 5 \
                 and "wq" in params["oar"]["attn"]["qkv"]:
             from umgen_tpu.ops.decode_kernel import fused_decode_step
             h, kv_k, kv_v = fused_decode_step(params["oar"], x, kv_k, kv_v,
@@ -156,6 +168,7 @@ class Rollout:
         Dh = cfg.head_dim
         scale = 1.0 / np.sqrt(Dh)
         S_max = kv_k.shape[2]
+        flat_cache = kv_k.ndim == 4              # [L, B, S, H*Dh] storage
         kpos = jnp.arange(S_max)[None, None, None, :]
         qpos = cache_len + jnp.arange(Q)[None, None, :, None]
         prefix_valid = kpos < cache_len                  # [1,1,1,S]
@@ -164,6 +177,9 @@ class Rollout:
 
         def body(h, layer):
             p, ck, cv = layer                            # ck: [B,S,H,Dh]
+            if flat_cache:
+                ck = ck.reshape(B, S_max, n_head, Dh)
+                cv = cv.reshape(B, S_max, n_head, Dh)
             a = nn.layer_norm(p["ln1"], h)
             qkv = nn.linear(p["attn"]["qkv"], a)
             q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -197,10 +213,15 @@ class Rollout:
         h, (ks, vs) = jax.lax.scan(body, x, (params["oar"], kv_k, kv_v),
                                    unroll=unroll)
         # one deferred write of all layers' new K/V
-        kv_k = jax.lax.dynamic_update_slice(kv_k, ks, (0, 0, cache_len,
-                                                       0, 0))
-        kv_v = jax.lax.dynamic_update_slice(kv_v, vs, (0, 0, cache_len,
-                                                       0, 0))
+        if flat_cache:
+            L = kv_k.shape[0]
+            ks = ks.reshape(L, B, Q, n_head * Dh)
+            vs = vs.reshape(L, B, Q, n_head * Dh)
+        zeros = (0,) * (kv_k.ndim - 3)
+        kv_k = jax.lax.dynamic_update_slice(kv_k, ks,
+                                            (0, 0, cache_len) + zeros)
+        kv_v = jax.lax.dynamic_update_slice(kv_v, vs,
+                                            (0, 0, cache_len) + zeros)
         return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
 
     # token → next-step input embedding, per modality (no positional
@@ -236,10 +257,9 @@ class Rollout:
                         state.prev_emb, state.rng)
 
     def _unsliced(self, full: OarState, part: OarState) -> OarState:
-        kv_k = jax.lax.dynamic_update_slice(full.kv_k, part.kv_k,
-                                            (0, 0, 0, 0, 0))
-        kv_v = jax.lax.dynamic_update_slice(full.kv_v, part.kv_v,
-                                            (0, 0, 0, 0, 0))
+        zeros = (0,) * full.kv_k.ndim
+        kv_k = jax.lax.dynamic_update_slice(full.kv_k, part.kv_k, zeros)
+        kv_v = jax.lax.dynamic_update_slice(full.kv_v, part.kv_v, zeros)
         return OarState(kv_k, kv_v, part.prev_emb, part.rng)
 
     # ------------------------------------------------------------------

@@ -1127,3 +1127,265 @@ def fused_decode_step_v4(packed: Params, x: jnp.ndarray,
     kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
                                         (0, 0, cl0, 0, 0))
     return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v5: static-pipeline multi-stream kernel (v3 compute, static index maps)
+# ===========================================================================
+# Ablation (scripts/probe_dma.py, scripts/probe_compute.py, measured on
+# v5e): a kernel streaming v3's exact blocks through STATIC index maps runs
+# at ~600 GB/s (0.65 ms/step at B=1), and adding v3's full attention + qdot
+# compute only brings it to 0.71 ms/step — yet the real v3 kernel measures
+# 2.22 ms.  The difference is v3's scalar-prefetch-driven KV index map
+# (jnp.minimum(ns, nblk-1)): the runtime-clamped block index defeats the
+# pipeliner's prefetch and serializes the big KV fetches.  v5 therefore:
+#   * uses a plain grid with STATIC index maps everywhere — the KV stream
+#     always walks all NS blocks of the (caller-sliced) cache;
+#   * takes cache_len as an SMEM scalar used ONLY for in-kernel masking
+#     (compute is cheap; DMA regularity is what matters);
+#   * relies on the caller's per-segment cache slicing (rollout._sliced)
+#     to keep whole-frame KV traffic proportional to the true prefix.
+# Compute is v3's: int8 MXU logits dot, dim-0-contraction value dot,
+# lagged weight streams.  Requires int8 KV (KV_INT8_SCALE grid) and
+# pack_fused_oar params.
+
+def _kernel_v5(x_ref, cl_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
+               kvk_ref, kvv_ref, pool_ref, poolt_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    pool = pool_ref[:]                 # [HD, H] f32
+    poolt = poolt_ref[:]               # [H, HD] f32
+
+    # ---- ns == 0: hidden init, QKV, quantized q-pool, self-term ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        for b in range(B):
+            qp = q[b][:, None] * pool                       # [HD, H] f32
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
+                jnp.round(qp / sq), -127, 127)
+            den_scr[b:b + 1, 120:121] = sq[None, None]
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [B, H]
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- every S-block: MXU flash update (invalid rows masked) ----
+    base = ns * bs
+    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+    valid = spos < cl
+    for b in range(B):
+        kmat = kvk_ref[0, b]                             # [bs, HD] i8
+        vmat = kvv_ref[0, b]
+        qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
+        sq = den_scr[b, 120]
+        li = jax.lax.dot_general(kmat, qp_i8,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        logits = (li.astype(jnp.float32)
+                  * (sq * scale / KV_INT8_SCALE))        # [bs, H]
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[b:b + 1, :H]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                           keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)                      # [bs, H] f32
+        den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
+                                                    keepdims=True)
+        part = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            (vmat.astype(jnp.bfloat16)
+             * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H, HD]
+        blk_mix = jnp.sum(part * poolt, axis=0,
+                          keepdims=True)                 # [1, HD]
+        corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                             keepdims=True)              # [1, HD]
+        acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
+                               + blk_mix)
+        m_scr[b:b + 1, :H] = m_new
+        den_scr[b:b + 1, :H] = den
+
+    # ---- ns == NS-1: finalize, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)  # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int, block_s: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-pipeline fused decode step (v3 compute, static DMA).
+
+    Requires int8 KV caches (KV_INT8_SCALE grid) and pack_fused_oar
+    params.  Streams the WHOLE (caller-sliced) cache every step; callers
+    keep traffic proportional to the prefix via per-segment slicing.
+    """
+    # Accept [L, B, S, HD] (preferred: Dh=48 is lane-padded by XLA, so a
+    # 5-D cache forces a physical relayout copy per step) or [L, B, S, H,
+    # Dh].
+    if kv_k.ndim == 4:
+        L, B, S, HDk = kv_k.shape
+        H = n_head
+        Dh = HDk // H
+    else:
+        L, B, S, H, Dh = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v5 requires int8 KV storage"
+    d = x.shape[-1]
+    HD = H * Dh
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    kvk = kv_k if kv_k.ndim == 4 else kv_k.reshape(L, B, S, HD)
+    kvv = kv_v if kv_v.ndim == 4 else kv_v.reshape(L, B, S, HD)
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+
+    wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, _lag=lag_ns: (jnp.maximum(l - (ns < _lag), 0),)
+            + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec((1, B, bs, HD), lambda l, ns: (l, 0, ns, 0))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_v5, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # cl scalar
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 4 * d)),                             # wqp
+            lagged((d, 4 * d), lag_fc),                   # wfc
+            lagged((4 * d, d), lag_pj),                   # wpj
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns: (l, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
+                        pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
+                        pltpu.VMEM((B, 128), jnp.float32),       # m
+                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
+                        pltpu.VMEM((B, HD), jnp.float32)],       # acc
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(x[:, 0].astype(jnp.bfloat16), cl, packed["vec"], wqp, wfc, wpj,
+      kvk, kvv, pool, poolt)
+
+    shape_new = ((L, B, 1, HD) if kv_k.ndim == 4 else (L, B, 1, H, Dh))
+    k_new = kvnew[:, :, :HD].reshape(shape_new)
+    v_new = kvnew[:, :, HD:].reshape(shape_new)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    zeros = (0,) * (kv_k.ndim - 3)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0) + zeros)
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0) + zeros)
+    return h_out[:, None, :], kv_k, kv_v
