@@ -99,13 +99,18 @@ def main():
             elif v == "v5":
                 packed = dk.pack_fused_oar(params)
                 fn = dk.fused_decode_step_v5
-            elif v == "v5flat":
+            elif v == "v6":
                 packed = dk.pack_fused_oar(params)
-                fn = dk.fused_decode_step_v5
+                fn = dk.fused_decode_step_v6
+                shape = (L, B, S, H * Dh)
+            elif v.startswith("v5flat"):
+                packed = dk.pack_fused_oar(params)
+                bs = int(v[7:]) if len(v) > 7 else 0
+                fn = functools.partial(dk.fused_decode_step_v5, block_s=bs)
                 shape = (L, B, S, H * Dh)      # 4-D lane-aligned cache
             else:
                 continue
-            if v != "v5flat":
+            if not (v.startswith("v5flat") or v == "v6"):
                 shape = kv_shape
 
             @functools.partial(jax.jit, donate_argnums=(2, 3))

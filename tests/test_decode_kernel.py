@@ -187,3 +187,57 @@ def test_fused_v5_matches_xla(cl, flat):
     if flat:
         krow_f = krow_f.reshape(krow_ref.shape)
     np.testing.assert_allclose(krow_ref, krow_f, atol=0.1)
+
+
+@tpu_only
+@pytest.mark.parametrize("cl", [0, 100, 101, 907])
+def test_fused_v6_matches_xla(cl):
+    """v6 (in-kernel aliased cache append) vs the XLA step on the flat
+    cache: hidden output parity plus the appended row landing at `cl`
+    with every other cache row preserved."""
+    from umgen_tpu.ops.decode_kernel import (fused_decode_step_v6,
+                                             pack_fused_oar,
+                                             KV_INT8_SCALE)
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=4)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 4,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = pack_fused_oar(pq["oar"])
+    B, S = 2, 1104
+    HD = cfg.n_head * cfg.head_dim
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (4, B, S, cfg.n_head,
+                                            cfg.head_dim)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_bf, vv_bf, jnp.int32(cl))
+    kv = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8).reshape(4, B, S, HD)
+    vv = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8).reshape(4, B, S, HD)
+    kv_before = np.asarray(kv)
+    h_f, kk_f, vv_f = fused_decode_step_v6(packed, x, kv, vv,
+                                           jnp.int32(cl),
+                                           n_head=cfg.n_head)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    a = np.asarray(h_ref, np.float32)
+    b = np.asarray(h_f, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.08
+    kk_f = np.asarray(kk_f)
+    # appended row parity
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl
+                                                      ].reshape(4, B, HD)
+    np.testing.assert_allclose(krow_ref,
+                               kk_f[:, :, cl].astype(np.float32)
+                               / KV_INT8_SCALE, atol=0.1)
+    # every other row untouched
+    mask = np.ones(S, bool)
+    mask[cl] = False
+    np.testing.assert_array_equal(kk_f[:, :, mask], kv_before[:, :, mask])

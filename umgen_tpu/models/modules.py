@@ -135,11 +135,16 @@ def init_stack(key, n_layers: int, init_fn, *args) -> Params:
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "wq" in p:
         # weight-only int8: HBM stores int8 + per-output-channel scales;
-        # dequantize in VMEM (fused by XLA into the matmul read)
+        # XLA fuses the dequant into the matmul read.  Measured on v5e at
+        # the TAR shapes ([4414,768]@[768,2304]): this runs at 72 TF/s —
+        # the same as a plain bf16 dot — while dynamic activation-quant
+        # int8 (the fused decode kernel's scheme) measures 49 TF/s and a
+        # pure int8 dot 61 TF/s: XLA exposes no int8 MXU advantage here,
+        # so dequant-to-bf16 is the right XLA-path formulation.
         w = p["wq"].astype(x.dtype) * p["ws"].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     else:
-        w = p["w"]
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -1149,8 +1149,8 @@ def fused_decode_step_v4(packed: Params, x: jnp.ndarray,
 # lagged weight streams.  Requires int8 KV (KV_INT8_SCALE grid) and
 # pack_fused_oar params.
 
-def _kernel_v5(x_ref, cl_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
-               kvk_ref, kvv_ref, pool_ref, poolt_ref,
+def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+               wpj_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
                h_out_ref, kvnew_ref,
                h_scr, qp_scr, m_scr, den_scr, acc_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
@@ -1325,29 +1325,39 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
 
     wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
 
+    # block index clamped at the last prefix-intersecting block: repeated
+    # indices skip the DMA re-fetch, so mid-frame KV traffic tracks the
+    # true prefix length (stale block contents are position-masked by ns,
+    # so the unconditional flash update stays correct).  Static-map
+    # measurement showed the clamp itself costs nothing at full cache —
+    # the old v3 slowness was the 5-D cache relayout, not this map.
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
-                            lambda l, ns: (l,) + (0,) * len(shape))
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
 
     def lagged(shape, lag_ns):
         return pl.BlockSpec(
             (1,) + shape,
-            lambda l, ns, _lag=lag_ns: (jnp.maximum(l - (ns < _lag), 0),)
-            + (0,) * len(shape))
+            lambda l, ns, *_, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
 
     def kv_spec():
-        return pl.BlockSpec((1, B, bs, HD), lambda l, ns: (l, 0, ns, 0))
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
 
     lag_pj = 1 if NS > 2 else 0
     lag_fc = 2 if NS > 2 else 0
     kernel = functools.partial(_kernel_v5, n_layers=L, n_sblk=NS, bs=bs,
                                H=H, Dh=Dh)
-    h_out, kvnew = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(L, NS),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),        # x
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # cl scalar
             at_l((1, packed["vec"].shape[-1])),           # vec
             at_l((d, 4 * d)),                             # wqp
             lagged((d, 4 * d), lag_fc),                   # wfc
@@ -1358,22 +1368,26 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 2 * HD), lambda l, ns: (l, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
                         pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
                         pltpu.VMEM((B, 128), jnp.float32),       # m
                         pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
                         pltpu.VMEM((B, HD), jnp.float32)],       # acc
+    )
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(x[:, 0].astype(jnp.bfloat16), cl, packed["vec"], wqp, wfc, wpj,
-      kvk, kvv, pool, poolt)
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc,
+      wpj, kvk, kvv, pool, poolt)
 
     shape_new = ((L, B, 1, HD) if kv_k.ndim == 4 else (L, B, 1, H, Dh))
     k_new = kvnew[:, :, :HD].reshape(shape_new)
@@ -1388,4 +1402,276 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
                                         (0, 0, cl0) + zeros)
     kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
                                         (0, 0, cl0) + zeros)
+    return h_out[:, None, :], kv_k, kv_v
+
+
+
+# ===========================================================================
+# v6: v5 + in-kernel aliased cache append (no out-of-kernel writeback)
+# ===========================================================================
+# Ablation (scripts/probe_v5_ablate.py, v5e): the v5 kernel body runs at
+# 0.74 ms/step at B=2 — every compute piece overlaps with the ~600 GB/s
+# block stream — but the real step measures 1.25 ms.  The difference is the
+# OUT-OF-KERNEL cache writeback: the dynamic_update_slice pair after the
+# pallas_call makes XLA materialize a copy of the 244 MB caches every step.
+# v6 removes it: the caches are aliased input/outputs, and each layer's new
+# K/V row is spliced into the streamed 8-row neighbourhood around
+# `cache_len` and emitted as a (1, B, 8, HD) output block whose index map
+# places it at sublane-window cl//8 via scalar prefetch — one pipelined
+# ~12 KB write per layer into the SAME buffer the blocked input streams
+# from.  The splice rows < cl are rewritten with identical data; rows
+# >= cl are dead until a future append overwrites them; the row at cl is
+# masked out of this step's attention — so the in-flight write never
+# races a live read.  Requires flat [L, B, S, HD] int8 caches (S % bs == 0,
+# bs % 8 == 0) and pack_fused_oar params; the passed caches are CONSUMED.
+
+def _kernel_v6(cl_pref, x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
+               kvk_ref, kvv_ref, pool_ref, poolt_ref,
+               h_out_ref, kwin_ref, vwin_ref,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr, krow_scr, vrow_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_pref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    pool = pool_ref[:]                 # [HD, H] f32
+    poolt = poolt_ref[:]               # [H, HD] f32
+
+    # ---- ns == 0: hidden init, QKV, row quantization, self-term ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        krow_scr[:] = jnp.clip(jnp.round(k_new * KV_INT8_SCALE),
+                               -127, 127).astype(jnp.int8)
+        vrow_scr[:] = jnp.clip(jnp.round(v_new * KV_INT8_SCALE),
+                               -127, 127).astype(jnp.int8)
+        for b in range(B):
+            qp = q[b][:, None] * pool                       # [HD, H] f32
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
+                jnp.round(qp / sq), -127, 127)
+            den_scr[b:b + 1, 120:121] = sq[None, None]
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [B, H]
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- append: splice the new row into its 8-row window and emit ----
+    @pl.when(ns == cl // bs)
+    def _():
+        win_lo = (cl % bs) // 8 * 8
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (8, HD), 0)
+               == cl % 8)
+        for b in range(B):
+            kwin = kvk_ref[0, b, pl.ds(win_lo, 8), :]
+            vwin = kvv_ref[0, b, pl.ds(win_lo, 8), :]
+            kwin_ref[0, b] = jnp.where(sel, krow_scr[b][None, :], kwin)
+            vwin_ref[0, b] = jnp.where(sel, vrow_scr[b][None, :], vwin)
+
+    # ---- every S-block: MXU flash update (invalid rows masked) ----
+    base = ns * bs
+    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+    valid = spos < cl
+    for b in range(B):
+        kmat = kvk_ref[0, b]                             # [bs, HD] i8
+        vmat = kvv_ref[0, b]
+        qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
+        sq = den_scr[b, 120]
+        li = jax.lax.dot_general(kmat, qp_i8,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        logits = (li.astype(jnp.float32)
+                  * (sq * scale / KV_INT8_SCALE))        # [bs, H]
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[b:b + 1, :H]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                           keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)                      # [bs, H] f32
+        den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
+                                                    keepdims=True)
+        part = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            (vmat.astype(jnp.bfloat16)
+             * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H, HD]
+        blk_mix = jnp.sum(part * poolt, axis=0, keepdims=True)
+        corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                             keepdims=True)              # [1, HD]
+        acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
+                               + blk_mix)
+        m_scr[b:b + 1, :H] = m_new
+        den_scr[b:b + 1, :H] = den
+
+    # ---- ns == NS-1: finalize, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)  # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"),
+                   donate_argnums=(2, 3))
+def fused_decode_step_v6(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int, block_s: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """v5 + in-kernel aliased cache append.
+
+    kv_k/kv_v: flat [L, B, S, H*Dh] int8 (KV_INT8_SCALE grid), CONSUMED
+    (aliased into the returned caches).  Returns (h [B, 1, d] bf16
+    pre-ln_oar, kv_k, kv_v updated in place).
+    """
+    L, B, S, HD = kv_k.shape
+    assert kv_k.dtype == jnp.int8 and kv_k.ndim == 4, \
+        "v6 requires flat int8 KV storage"
+    H = n_head
+    d = x.shape[-1]
+    Dh = HD // H
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+    assert bs % 8 == 0, "v6 append window needs bs % 8 == 0"
+
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+
+    wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, cl_ref: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, cl_ref, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec((1, B, bs, HD),
+                            lambda l, ns, cl_ref: (l, 0, ns, 0))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_v6, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 4 * d)),                             # wqp
+            lagged((d, 4 * d), lag_fc),                   # wfc
+            lagged((4 * d, d), lag_pj),                   # wpj
+            kv_spec(), kv_spec(),                         # kvk, kvv
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # h_out
+            # 8-row append window at sublane-block cl//8 of the aliased
+            # cache
+            pl.BlockSpec((1, B, 8, HD),
+                         lambda l, ns, cl_ref: (l, 0, cl_ref[0] // 8, 0)),
+            pl.BlockSpec((1, B, 8, HD),
+                         lambda l, ns, cl_ref: (l, 0, cl_ref[0] // 8, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
+                        pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
+                        pltpu.VMEM((B, 128), jnp.float32),       # m
+                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
+                        pltpu.VMEM((B, HD), jnp.float32),        # acc
+                        pltpu.VMEM((B, HD), jnp.int8),           # k row
+                        pltpu.VMEM((B, HD), jnp.int8)],          # v row
+    )
+
+    h_out, kv_k, kv_v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, S, HD), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, S, HD), jnp.int8),
+        ],
+        # flat input indices INCLUDE the scalar prefetch operand: cl=0 x=1
+        # vec=2 wqp=3 wfc=4 wpj=5 kvk=6 kvv=7 pool=8 poolt=9 → alias the
+        # caches straight to outputs 1/2
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc, wpj,
+      kv_k, kv_v, pool, poolt)
     return h_out[:, None, :], kv_k, kv_v
