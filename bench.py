@@ -73,12 +73,17 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
     w8 = w8_mode in ("1", "all")
+    w4 = os.environ.get("UMGEN_BENCH_W4", "0") == "1"
+    raw_oar = params["oar"] if w4 else None
     if w8:
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
                                                 quantize_params_int8)
         params = quantize_params_int8(
             params, keys=ALL_STACK_KEYS if w8_mode == "all" else DECODE_KEYS)
-        if cfg.fused_oar_kernel:
+        if cfg.fused_oar_kernel and w4:
+            from umgen_tpu.runtime.quantize import pack_fused_w4
+            params = pack_fused_w4(params, raw_oar)
+        elif cfg.fused_oar_kernel:
             from umgen_tpu.runtime.quantize import pack_fused
             params = pack_fused(params, cfg.oar_cache_dtype)
     jax.block_until_ready(params)
@@ -143,7 +148,8 @@ def main():
         "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
-                f"{', fused-v5' if fused else ''}; p50 frame latency "
+                f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"
+                f"; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
                 f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),

@@ -241,3 +241,49 @@ def test_fused_v6_matches_xla(cl):
     mask = np.ones(S, bool)
     mask[cl] = False
     np.testing.assert_array_equal(kk_f[:, :, mask], kv_before[:, :, mask])
+
+
+@tpu_only
+@pytest.mark.parametrize("cl", [100, 900])
+def test_fused_w4_matches_xla(cl):
+    """W4A8 kernel vs the UN-quantized bf16 XLA step: int4 group
+    quantization adds real error — assert it stays within the documented
+    serving envelope (<15% rel on the hidden state at 4 layers)."""
+    from umgen_tpu.ops.decode_kernel import (fused_decode_step_w4,
+                                             pack_fused_oar_w4,
+                                             KV_INT8_SCALE)
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=4)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 4,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    packed = pack_fused_oar_w4(params["oar"])
+    B, S = 2, 1104
+    HD = cfg.n_head * cfg.head_dim
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (4, B, S, cfg.n_head,
+                                            cfg.head_dim)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(params, x, kv_bf, vv_bf, jnp.int32(cl))
+    kv = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8).reshape(4, B, S, HD)
+    vv = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8).reshape(4, B, S, HD)
+    h_f, kk_f, _ = fused_decode_step_w4(packed, x, kv, vv, jnp.int32(cl),
+                                        n_head=cfg.n_head)
+    h_f = nn.layer_norm(params["ln_oar"], h_f)
+    a = np.asarray(h_ref, np.float32)
+    b = np.asarray(h_f, np.float32)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.15, rel
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl
+                                                      ].reshape(4, B, HD)
+    krow_f = np.asarray(kk_f)[:, :, cl].astype(np.float32) / KV_INT8_SCALE
+    # int4 weight error flows into k_new; gate placement + coarse value
+    np.testing.assert_allclose(krow_ref, krow_f, atol=0.35)

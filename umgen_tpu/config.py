@@ -178,6 +178,9 @@ class ModelConfig:
     # experimental single-launch Pallas decode step (ops/decode_kernel);
     # currently slower than the XLA path on v5e — off by default
     fused_oar_kernel: bool = False
+    # 4 selects the W4A8 fused kernel (group-128 int4 weights, ~4-8%
+    # per-matmul rel err vs <2% for int8) — an opt-in serving knob
+    oar_weight_bits: int = 8
     # speculative decoding for the map/image segments: the TAR prior is a
     # position-wise draft model (it is trained to predict exactly these
     # positions); chunks of K drafts verify in ONE multi-query OAR step,

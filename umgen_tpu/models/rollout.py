@@ -144,7 +144,9 @@ class Rollout:
             # attention) on int8 caches; v2 (burst-fetch) otherwise
             if kv_k.dtype == jnp.int8:
                 from umgen_tpu.ops import decode_kernel as dk
-                if kv_k.ndim == 4:               # flat cache -> v5
+                if "wqp4" in params["oar_packed"]:   # W4A8 packing
+                    fused = dk.fused_decode_step_w4
+                elif kv_k.ndim == 4:             # flat cache -> v5
                     fused = dk.fused_decode_step_v5
                 elif "wqkv" in params["oar_packed"]:
                     fused = dk.fused_decode_step_v4

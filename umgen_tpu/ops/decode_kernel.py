@@ -1675,3 +1675,379 @@ def fused_decode_step_v6(packed: Params, x: jnp.ndarray,
     )(cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc, wpj,
       kv_k, kv_v, pool, poolt)
     return h_out[:, None, :], kv_k, kv_v
+
+# ===========================================================================
+# w4: v5 with int4 (W4A8) weights — group-128 scales, nibble-packed
+# ===========================================================================
+# The v5 kernel runs at ~90% of HBM peak, so the remaining decode lever is
+# fewer bytes.  int8 weights are 255 MB/step (36 layers); int4 halves that
+# to 128 MB + 8 MB of group scales.  Scheme:
+#   * symmetric int4 in [-7, 7] with one scale per (128-row input group,
+#     output channel) — the standard W4A8 serving recipe;
+#   * nibble packing pairs group 2j (lo nibble) with group 2j+1 (hi
+#     nibble) in one [128, N] int8 byte block, so the in-kernel unpack is
+#     two sign-extending shifts and the group sub-dots consume aligned
+#     activation slices;
+#   * the three weight streams keep v5's shapes halved: wqp4 [L, K/2, 4d],
+#     wfc4 [L, K/2, 4d], wpj4 [L, 2d, d]; all group scales ride ONE
+#     [L, 18, 3072] f32 stream (pj's [24, 768] reshaped to [6, 3072]);
+#   * activations quantize per-row over the full K (as in v5); output =
+#     sum_j (acc_j * ws[group_j]) * sa.
+# Accuracy: ~4-8% per-matmul relative error on Gaussian weights (vs <2%
+# for int8) — an explicitly opt-in serving config (UMGEN_BENCH_W4=1 /
+# ModelConfig.oar_weight_bits=4), not the default.
+
+W4_GROUP = 128
+
+
+def _quantize_w4_groups(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[K, N] fp → (packed int8 [K/2, N], scales f32 [K/128, N])."""
+    K, N = w.shape
+    G = K // W4_GROUP
+    wg = w.reshape(G, W4_GROUP, N).astype(np.float32)
+    scale = np.maximum(np.abs(wg).max(axis=1, keepdims=True) / 7.0, 1e-8)
+    q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)   # [G,128,N]
+    lo = q[0::2]                                   # groups 0,2,4,...
+    hi = q[1::2]
+    packed = ((hi.astype(np.int16) << 4) | (lo.astype(np.int16) & 0xF)
+              ).astype(np.int8)                    # [G/2, 128, N]
+    return packed.reshape(K // 2, N), scale[:, 0, :]
+
+
+def pack_fused_oar_w4(oar_params_raw: Params) -> Params:
+    """RAW (fp32/bf16 "w") stacked OAR params → w4 packed blocks.
+
+    Output: {"vec", "wqp4" [L,d/2,4d], "wfc4" [L,d/2,4d],
+    "wpj4" [L,2d,d], "scales4" [L,18,3072] f32}.
+    """
+    p = oar_params_raw
+    L, d, _ = np.asarray(p["attn"]["qkv"]["w"]).shape
+    wqp = np.concatenate([np.asarray(p["attn"]["qkv"]["w"]),
+                          np.asarray(p["attn"]["proj"]["w"])], axis=-1)
+    wfc = np.asarray(p["mlp"]["fc"]["w"])
+    wpj = np.asarray(p["mlp"]["proj"]["w"])
+
+    qp_q = np.empty((L, d // 2, 4 * d), np.int8)
+    fc_q = np.empty((L, d // 2, 4 * d), np.int8)
+    pj_q = np.empty((L, 2 * d, d), np.int8)
+    scales = np.empty((L, 18, 4 * d), np.float32)
+    for ll in range(L):
+        qp_q[ll], s_qp = _quantize_w4_groups(wqp[ll])
+        fc_q[ll], s_fc = _quantize_w4_groups(wfc[ll])
+        pj_q[ll], s_pj = _quantize_w4_groups(wpj[ll])
+        scales[ll, 0:6] = s_qp
+        scales[ll, 6:12] = s_fc
+        scales[ll, 12:18] = s_pj.reshape(6, 4 * d)
+
+    # vec block: LN weights + attention biases (ws slots filled with ones;
+    # the w4 path never reads them)
+    fake = {
+        "ln1": p["ln1"], "ln2": p["ln2"],
+        "attn": {"qkv": {"wq": np.zeros((L, d, 3 * d), np.int8),
+                         "ws": np.ones((L, 3 * d), np.float32),
+                         "b": np.asarray(p["attn"]["qkv"]["b"])},
+                 "proj": {"wq": np.zeros((L, d, d), np.int8),
+                          "ws": np.ones((L, d), np.float32),
+                          "b": np.asarray(p["attn"]["proj"]["b"])}},
+        "mlp": {"fc": {"ws": np.ones((L, 4 * d), np.float32)},
+                "proj": {"ws": np.ones((L, d), np.float32)}},
+    }
+    return {"vec": _pack_vec(fake),
+            "wqp4": jnp.asarray(qp_q), "wfc4": jnp.asarray(fc_q),
+            "wpj4": jnp.asarray(pj_q), "scales4": jnp.asarray(scales)}
+
+
+def _unpack_nibbles(b):
+    """int8 packed byte block → (lo, hi) int8 in [-8, 7]."""
+    bw = b.astype(jnp.int32)
+    hi = (bw >> 4).astype(jnp.int8)
+    lo = ((bw << 28) >> 28).astype(jnp.int8)
+    return lo, hi
+
+
+def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+               wpj_ref, sc_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    G = W4_GROUP
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot4(v, w4_ref, sc_row0, n_out, col0=0, b_vec=None):
+        """v [B, Kin] f32 @ int4 weights (w4_ref block [1, Kin/2, n_out]).
+
+        sc_row0: first row of this weight's scale rows in sc_ref;
+        col0: column offset into the weight block (for the qkv/proj split
+        of wqp4).  Scale row layout: row j covers input group j with
+        columns matching the weight's output columns."""
+        Kin = v.shape[-1]
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        y = jnp.zeros((v.shape[0], n_out), jnp.float32)
+        for j in range(Kin // (2 * G)):          # packed block pairs
+            blk = w4_ref[0, j * G:(j + 1) * G, col0:col0 + n_out]
+            lo, hi = _unpack_nibbles(blk)
+            a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+            a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+            acc_lo = jax.lax.dot_general(
+                a_lo, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_hi = jax.lax.dot_general(
+                a_hi, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            r = sc_row0 + 2 * j
+            s_lo = sc_ref[0, r:r + 1, col0:col0 + n_out]       # [1, n]
+            s_hi = sc_ref[0, r + 1:r + 2, col0:col0 + n_out]
+            y = y + acc_lo.astype(jnp.float32) * s_lo \
+                + acc_hi.astype(jnp.float32) * s_hi
+        y = y * sa
+        if b_vec is not None:
+            y = y + b_vec[None, :].astype(jnp.float32)
+        return y
+
+    def qdot4_pj(v):
+        """MLP down-proj: Kin = 4d (24 groups), scales reshaped [6, 4d]:
+        group g lives at scale row 12 + g//4, cols (g%4)*d:(g%4+1)*d."""
+        Kin = v.shape[-1]
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        y = jnp.zeros((v.shape[0], d), jnp.float32)
+        for j in range(Kin // (2 * G)):          # 12 packed pairs
+            blk = wpj_ref[0, j * G:(j + 1) * G, :]
+            lo, hi = _unpack_nibbles(blk)
+            a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+            a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+            acc_lo = jax.lax.dot_general(
+                a_lo, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_hi = jax.lax.dot_general(
+                a_hi, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            g_lo, g_hi = 2 * j, 2 * j + 1
+            rl, rh = 12 + g_lo // 4, 12 + g_hi // 4
+            s_lo = sc_ref[0, rl:rl + 1,
+                          (g_lo % 4) * d:(g_lo % 4 + 1) * d]   # [1, d]
+            s_hi = sc_ref[0, rh:rh + 1,
+                          (g_hi % 4) * d:(g_hi % 4 + 1) * d]
+            y = y + acc_lo.astype(jnp.float32) * s_lo \
+                + acc_hi.astype(jnp.float32) * s_hi
+        return y * sa
+
+    pool = pool_ref[:]
+    poolt = poolt_ref[:]
+
+    # ---- ns == 0: hidden init, QKV (int4), q-pool, self-term ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot4(a, wqp_ref, 0, 3 * d, col0=0,
+                    b_vec=vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        for b in range(B):
+            qp = q[b][:, None] * pool
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
+                jnp.round(qp / sq), -127, 127)
+            den_scr[b:b + 1, 120:121] = sq[None, None]
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- every S-block: MXU flash update ----
+    base = ns * bs
+    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+    valid = spos < cl
+    for b in range(B):
+        kmat = kvk_ref[0, b]
+        vmat = kvv_ref[0, b]
+        qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
+        sq = den_scr[b, 120]
+        li = jax.lax.dot_general(kmat, qp_i8,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        logits = (li.astype(jnp.float32)
+                  * (sq * scale / KV_INT8_SCALE))
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[b:b + 1, :H]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                           keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)
+        den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
+                                                    keepdims=True)
+        part = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            (vmat.astype(jnp.bfloat16)
+             * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blk_mix = jnp.sum(part * poolt, axis=0, keepdims=True)
+        corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                             keepdims=True)
+        acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
+                               + blk_mix)
+        m_scr[b:b + 1, :H] = m_new
+        den_scr[b:b + 1, :H] = den
+
+    # ---- ns == NS-1: finalize, proj (int4), MLP (int4) ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)
+        y = acc_scr[:] / den_lanes
+        y = qdot4(y, wqp_ref, 0, d, col0=3 * d,
+                  b_vec=vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot4(a2, wfc_ref, 6, 4 * d)
+        hid = _gelu_exact(hid)
+        y2 = qdot4_pj(hid)
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int, block_s: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """W4A8 fused decode step on the flat int8 cache.
+
+    packed: output of :func:`pack_fused_oar_w4`; kv_k/kv_v: flat
+    [L, B, S, H*Dh] int8 (KV_INT8_SCALE grid)."""
+    L = packed["wqp4"].shape[0]
+    _, B, S, HD = kv_k.shape
+    assert kv_k.dtype == jnp.int8 and kv_k.ndim == 4, \
+        "w4 requires flat int8 KV storage"
+    H = n_head
+    d = x.shape[-1]
+    Dh = HD // H
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_w4, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d // 2, 4 * d)),                        # wqp4
+            lagged((d // 2, 4 * d), lag_fc),              # wfc4
+            lagged((2 * d, d), lag_pj),                   # wpj4
+            at_l((18, 4 * d)),                            # scales4
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),
+                        pltpu.VMEM((B * HD, 128), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32),
+                        pltpu.VMEM((B, HD), jnp.float32)],
+    )
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"],
+      packed["wqp4"], packed["wfc4"], packed["wpj4"], packed["scales4"],
+      kv_k, kv_v, pool, poolt)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, HD)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0))
+    return h_out[:, None, :], kv_k, kv_v

@@ -93,3 +93,16 @@ def pack_fused(params: Params, kv_dtype: str = "int8",
     else:
         out["oar_packed"] = pack_fused_oar(params["oar"])
     return out
+
+
+def pack_fused_w4(params: Params, raw_oar: Params) -> Params:
+    """Add the W4A8 ``oar_packed`` blocks (kernel: fused_decode_step_w4).
+
+    ``raw_oar``: the UN-quantized OAR subtree (original fp32/bf16 "w"
+    leaves) — int4 group quantization must start from the raw weights,
+    not the int8 ones.  The rest of ``params`` may already be int8.
+    """
+    from umgen_tpu.ops.decode_kernel import pack_fused_oar_w4
+    out = dict(params)
+    out["oar_packed"] = pack_fused_oar_w4(raw_oar)
+    return out
