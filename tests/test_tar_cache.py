@@ -145,6 +145,77 @@ def test_cached_fp8_runs_and_tracks_bf16():
     assert agree > 0.5
 
 
+def test_q4_pack_roundtrip():
+    """Nibble packing is exact for int4 values in [-7, 7]."""
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-7, 8, size=(3, 5, 4, 8)), jnp.int8)
+    packed = nn.q4_pack(q)
+    assert packed.shape == (3, 5, 4, 4)
+    even = np.asarray(nn.q4_unpack_even(packed))
+    odd = np.asarray(nn.q4_unpack_odd(packed))
+    np.testing.assert_array_equal(even, np.asarray(q)[..., 0::2])
+    np.testing.assert_array_equal(odd, np.asarray(q)[..., 1::2])
+
+
+def test_block_tar_decode_deferred_q4_tracks_exact():
+    """The packed-int4 ring attention approximates the exact deferred path:
+    quantize a filled ring with per-(B, T, H) scales and compare outputs."""
+    key = jax.random.PRNGKey(6)
+    p = nn.init_block_tar(key, D, False, jnp.float32)
+    B, S, T_max, Dh = 2, 6, 8, D // H
+    N = B * S
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, S, D))
+    ring_k = jax.random.normal(jax.random.PRNGKey(8), (N, T_max, H, Dh))
+    ring_v = jax.random.normal(jax.random.PRNGKey(9), (N, T_max, H, Dh))
+    slot, n_valid = jnp.int32(5), jnp.int32(5)
+
+    y_ref, k_ref, v_ref = nn.block_tar_decode_deferred(
+        p, x, H, ring_k, ring_v, slot, n_valid)
+
+    def quant(a):          # per-(B, t, H) scales over (S, Dh)
+        af = a.reshape(B, S, T_max, H, Dh)
+        s = jnp.maximum(jnp.max(jnp.abs(af), axis=(1, 4)), 1e-6) / 7.0
+        q = jnp.clip(jnp.round(af / s[:, None, :, :, None]), -7, 7)
+        return nn.q4_pack(q.astype(jnp.int8).reshape(N, T_max, H, Dh)), s
+
+    pk, sk = quant(ring_k)
+    pv, sv = quant(ring_v)
+    y_q4, k_q4, v_q4 = nn.block_tar_decode_deferred(
+        p, x, H, pk, pv, slot, n_valid, ring_scale_k=sk, ring_scale_v=sv)
+
+    # new K/V rows are computed pre-quantization — identical
+    np.testing.assert_allclose(np.asarray(k_q4), np.asarray(k_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_q4), np.asarray(v_ref),
+                               atol=1e-6)
+    ref = np.asarray(y_ref)
+    err = np.abs(np.asarray(y_q4) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, err
+
+
+def test_cached_int4_runs_and_tracks_fp32():
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_mode="temporal_cache")
+    cfg32 = ModelConfig(tar_cache_dtype="float32", **base).scaled("tiny")
+    cfg4 = ModelConfig(tar_cache_dtype="int4", **base).scaled("tiny")
+    m32, m4 = UMGen(cfg32), UMGen(cfg4)
+    params = m32.init_params(jax.random.PRNGKey(0))
+    cache = m4.init_tar_cache(2)
+    k, v, sk, sv = cache["tar"]
+    assert k.dtype == jnp.int8 and k.shape[-1] == m4.config.head_dim // 2
+    assert sk.shape == (k.shape[0], 2, m4.t_max, m4.config.n_head)
+    cond = make_token_batch(m32.layout, T=3, B=1, seed=0, config=cfg32)
+    out32 = Generator(m32, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    out4 = Generator(m4, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    assert out4["map"].shape == out32["map"].shape
+    agree = (out4["bbox3d"][:, -1] == out32["bbox3d"][:, -1]).mean()
+    assert agree > 0.5
+
+
 def test_ring_window_shorter_than_prefill():
     """tar_cache_window < conditioning length: prefill scatters the last
     `window` frames at their absolute ring slots; subsequent frames evict

@@ -155,8 +155,12 @@ class ModelConfig:
     #   (~20x TAR FLOP reduction). Requires rolling temporal PEs.
     tar_mode: str = "recompute"
     # storage dtype of the TAR temporal KV rings ("bfloat16" |
-    # "float8_e4m3fn"); fp8 halves the ~10.5 GB (larger-scale, B=1) ring
-    # footprint so cache + params fit one v5e chip
+    # "float8_e4m3fn" | "int4"); fp8 halves the ~10.5 GB
+    # (larger-scale, B=1) ring footprint so cache + params fit one v5e
+    # chip.  "int4" halves it again (nibble-packed int8 storage +
+    # per-(layer, scene, frame, head) dequant scales folded into the
+    # attention logits) — the rings cap the scene batch per chip, so int4
+    # is what unlocks B=4 at the full 20-frame window.
     tar_cache_dtype: str = "bfloat16"
     # storage dtype of the OAR decode KV cache; at batched rollouts the
     # per-step prefix reads (36 layers x 6.8 MB x B) dominate — fp8 halves

@@ -372,9 +372,27 @@ def block_tar_decode(p: Params, x: jnp.ndarray, n_head: int,
     return xs, kv_cache
 
 
+def q4_pack(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values (int8 storage, range [-7, 7]) pairwise along the
+    last dim: byte d holds dims (2d | low nibble, 2d+1 | high nibble)."""
+    return ((q[..., 1::2] << 4) | (q[..., 0::2] & 0x0F)).astype(jnp.int8)
+
+
+def q4_unpack_even(packed: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extended low nibble (original even dims)."""
+    return (packed << 4) >> 4
+
+
+def q4_unpack_odd(packed: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extended high nibble (original odd dims)."""
+    return packed >> 4
+
+
 def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
                               ring_k: jnp.ndarray, ring_v: jnp.ndarray,
-                              slot, n_valid, attn_impl=sdpa):
+                              slot, n_valid, attn_impl=sdpa,
+                              ring_scale_k: Optional[jnp.ndarray] = None,
+                              ring_scale_v: Optional[jnp.ndarray] = None):
     """BlockTAR single-frame step with READ-ONLY temporal rings.
 
     Returns (y [B, S, D], k_new, v_new [B*S, H, Dh]).  The caller scatters
@@ -383,6 +401,13 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     copies per step (scan ys cannot alias xs).
     The ring slot being overwritten this frame is masked out and the new
     frame attends itself via a separate rank-1 term.
+
+    int4 rings: when ring_scale_k/v ([B, T_max, H] dequant multipliers) are
+    given, ring_k/v are nibble-packed int8 [B*S, T_max, H, Dh//2] (int4
+    arrays cannot cross jit boundaries on current TPU runtimes).  The
+    contraction is over Dh only, so the per-(scene, frame, head) scales are
+    folded into the attention *logits* (k) and *weights* (v) — no
+    dequantized ring is ever materialized.
     """
     B, S, D = x.shape
     xs = x
@@ -401,10 +426,27 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     k_new = k_new.reshape(N, H, Dh)
     v_new = v_new.reshape(N, H, Dh)
 
+    packed = ring_scale_k is not None
     T_max = ring_k.shape[1]
     scale = 1.0 / math.sqrt(Dh)
-    lp = jnp.einsum("nqhd,nkhd->nhqk", q, ring_k.astype(q.dtype),
-                    preferred_element_type=jnp.float32) * scale
+
+    def fold(t_nh1t, s_bth):
+        """Multiply an [N, H, 1, T] tensor by per-(B, T, H) factors."""
+        t5 = t_nh1t.reshape(B, S, H, 1, T_max)
+        s5 = s_bth.transpose(0, 2, 1)[:, None, :, None, :]
+        return (t5 * s5).reshape(N, H, 1, T_max)
+
+    if packed:
+        lp = (jnp.einsum("nqhd,nkhd->nhqk", q[..., 0::2],
+                         q4_unpack_even(ring_k).astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("nqhd,nkhd->nhqk", q[..., 1::2],
+                           q4_unpack_odd(ring_k).astype(q.dtype),
+                           preferred_element_type=jnp.float32)) * scale
+        lp = fold(lp, ring_scale_k.astype(jnp.float32))
+    else:
+        lp = jnp.einsum("nqhd,nkhd->nhqk", q, ring_k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
     tpos = jnp.arange(T_max)[None, None, None, :]
     valid = (tpos < n_valid) & (tpos != slot)
     lp = jnp.where(valid, lp, -jnp.inf)
@@ -414,9 +456,18 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     ep = jnp.exp(lp - m)
     es = jnp.exp(ls - m)
     denom = jnp.sum(ep, -1, keepdims=True) + es
-    wp = (ep / denom).astype(q.dtype)
+    wp = ep / denom
     wself = (es / denom).astype(q.dtype)
-    y = jnp.einsum("nhqk,nkhd->nqhd", wp, ring_v.astype(q.dtype))
+    if packed:
+        wps = fold(wp, ring_scale_v.astype(jnp.float32)).astype(q.dtype)
+        y_e = jnp.einsum("nhqk,nkhd->nqhd", wps,
+                         q4_unpack_even(ring_v).astype(q.dtype))
+        y_o = jnp.einsum("nhqk,nkhd->nqhd", wps,
+                         q4_unpack_odd(ring_v).astype(q.dtype))
+        y = jnp.stack([y_e, y_o], axis=-1).reshape(N, 1, H, Dh)
+    else:
+        y = jnp.einsum("nhqk,nkhd->nqhd", wp.astype(q.dtype),
+                       ring_v.astype(q.dtype))
     y = y + wself.transpose(0, 2, 1, 3) * v_new[:, None]
     att = linear(p["ta"]["proj"], y.reshape(N, 1, D))
 

@@ -456,19 +456,50 @@ class UMGen:
         20-frame conditioning window)."""
         return self.config.tar_cache_window or self.config.cond_frame
 
+    @property
+    def _ring_q4(self) -> bool:
+        """int4 rings: nibble-packed int8 storage + per-(L, B, T, H) scales.
+        Halves ring HBM vs fp8/int8 — the rings are what cap the scene
+        batch on one chip (PERFORMANCE.md) — at a per-frame-per-head
+        quantization granularity."""
+        return self.config.tar_cache_dtype == "int4"
+
     def init_tar_cache(self, B: int) -> Dict[str, Any]:
         cfg = self.config
-        dt = jnp.dtype(cfg.tar_cache_dtype)
         T_max = self.t_max
         cache: Dict[str, Any] = {"frames": jnp.zeros((), jnp.int32)}
         layer_count = {"tar": cfg.n_tar_layer, "ego_tar": cfg.n_ego_tar_layer,
                        "map_tar": cfg.n_map_tar_layer,
                        "box_tar": cfg.n_box_tar_layer}
         for name, _, S in self._stack_names():
-            shape = (layer_count[name], B * S, T_max, cfg.n_head,
-                     cfg.head_dim)
-            cache[name] = (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+            L = layer_count[name]
+            if self._ring_q4:
+                shape = (L, B * S, T_max, cfg.n_head, cfg.head_dim // 2)
+                sshape = (L, B, T_max, cfg.n_head)
+                cache[name] = (jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(sshape, jnp.float32),
+                               jnp.zeros(sshape, jnp.float32))
+            else:
+                dt = jnp.dtype(cfg.tar_cache_dtype)
+                shape = (L, B * S, T_max, cfg.n_head, cfg.head_dim)
+                cache[name] = (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
         return cache
+
+    @staticmethod
+    def _ring_q4_quantize(x: jnp.ndarray, B: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [L, N, H, Dh] new K or V rows (N = B·S) → (packed
+        [L, N, H, Dh//2] int8, dequant scales [L, B, H] f32).  Scales are
+        amax over this frame's positions and head dims per (layer, scene,
+        head)."""
+        L, N, H, Dh = x.shape
+        xf = x.astype(jnp.float32).reshape(L, B, N // B, H, Dh)
+        amax = jnp.max(jnp.abs(xf), axis=(2, 4))
+        s = jnp.maximum(amax, 1e-6) * (1.0 / 7.0)
+        q = jnp.clip(jnp.round(xf / s[:, :, None, :, None]), -7, 7)
+        q = q.astype(jnp.int8).reshape(L, N, H, Dh)
+        return nn.q4_pack(q), s
 
     def _run_tar_stack_cached(self, params, stack_name, ln_name, x, kv,
                               slot, n_valid):
@@ -479,6 +510,33 @@ class UMGen:
         all layers' new K/V scatter into the rings with one
         dynamic_update_slice at the frame's ring slot."""
         cfg = self.config
+        B = x.shape[0]
+
+        if self._ring_q4:
+            kv_k, kv_v, sk, sv = kv
+
+            def body_q4(h, layer):
+                p, k_l, v_l, sk_l, sv_l = layer
+                h, k_new, v_new = nn.block_tar_decode_deferred(
+                    p, h, cfg.n_head, k_l, v_l, slot, n_valid,
+                    attn_impl=self.attn, ring_scale_k=sk_l,
+                    ring_scale_v=sv_l)
+                return h, (k_new, v_new)
+
+            h, (ks, vs) = jax.lax.scan(
+                body_q4, x, (params[stack_name], kv_k, kv_v, sk, sv))
+            kp, s_k = self._ring_q4_quantize(ks, B)
+            vp, s_v = self._ring_q4_quantize(vs, B)
+            kv_k = jax.lax.dynamic_update_slice(
+                kv_k, kp[:, :, None], (0, 0, slot, 0, 0))
+            kv_v = jax.lax.dynamic_update_slice(
+                kv_v, vp[:, :, None], (0, 0, slot, 0, 0))
+            sk = jax.lax.dynamic_update_slice(
+                sk, s_k[:, :, None], (0, 0, slot, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, s_v[:, :, None], (0, 0, slot, 0))
+            return nn.layer_norm(params[ln_name], h), (kv_k, kv_v, sk, sv)
+
         kv_k, kv_v = kv
 
         def body(h, layer):
@@ -505,10 +563,38 @@ class UMGen:
         frames' K/V are kept, scattered at their absolute ring slots so
         subsequent writes overwrite the oldest frame."""
         cfg = self.config
-        cache_dt = jnp.dtype(cfg.tar_cache_dtype)
+        B = emb.shape[0]
         T = emb.shape[1]
         keep = min(T, T_max)
         slots = np.arange(T - keep, T) % T_max     # static permutation
+
+        if self._ring_q4:
+            def body_q4(h, p):
+                h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
+                                                    attn_impl=self.attn)
+
+                def ring(a):          # a: [N, T, H, Dh]
+                    N, _, H, Dh = a.shape
+                    af = a.astype(jnp.float32).reshape(B, N // B, T, H, Dh)
+                    amax = jnp.max(jnp.abs(af), axis=(1, 4))   # [B, T, H]
+                    s = jnp.maximum(amax, 1e-6) * (1.0 / 7.0)
+                    q = jnp.clip(jnp.round(af / s[:, None, :, :, None]),
+                                 -7, 7).astype(jnp.int8)
+                    packed = nn.q4_pack(q.reshape(N, T, H, Dh))
+                    r = jnp.zeros((N, T_max, H, Dh // 2), jnp.int8)
+                    r = r.at[:, slots].set(packed[:, -keep:])
+                    rs = jnp.zeros((B, T_max, H), jnp.float32)
+                    rs = rs.at[:, slots].set(s[:, -keep:])
+                    return r, rs
+
+                rk, rsk = ring(k)
+                rv, rsv = ring(v)
+                return h, (rk, rv, rsk, rsv)
+
+            h, kv = jax.lax.scan(body_q4, emb, params[stack_name])
+            return nn.layer_norm(params[ln_name], h), kv
+
+        cache_dt = jnp.dtype(cfg.tar_cache_dtype)
 
         def body(h, p):
             h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
