@@ -19,9 +19,10 @@ of the PyTorch reference on one A100:
 Environment knobs:
   UMGEN_BENCH_SCALE     larger (default) | stander | debug | tiny
   UMGEN_BENCH_FRAMES    measured frames (default 4, + 1 warmup)
-  UMGEN_BENCH_BATCH     parallel scenes (default 1)
+  UMGEN_BENCH_BATCH     parallel scenes (default 3)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
-  UMGEN_BENCH_KV_DTYPE  float8_e4m3fn (default) | bfloat16
+  UMGEN_BENCH_KV_DTYPE  TAR-ring storage: int4 (default; nibble-packed with
+                        per-frame-head scales) | float8_e4m3fn | bfloat16
   UMGEN_BENCH_W8        int8 weight-only OAR quantization (default 1; the
                         serving config — per-matmul rel err < 2%)
 """
@@ -45,11 +46,12 @@ def main():
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
     n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
-    # default serving config: 2 parallel scenes at the faithful 20-frame
-    # window, fp8 caches, int8 weights (fits one 16 GB v5e chip)
-    B = int(os.environ.get("UMGEN_BENCH_BATCH", "2"))
+    # default serving config: 3 parallel scenes at the faithful 20-frame
+    # window, int4 TAR rings + int8 OAR cache, int8 weights (the rings cap
+    # the per-chip batch; int4 fits B=3 full-window in 16 GB)
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "3"))
     tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
-    kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "float8_e4m3fn")
+    kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "int4")
     T = 20                      # flagship conditioning window
 
     pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
@@ -58,8 +60,10 @@ def main():
     import jax as _jax
     fused_default = "1" if _jax.default_backend() == "tpu" else "0"
     fused = os.environ.get("UMGEN_BENCH_FUSED", fused_default) == "1"
+    # the OAR cache supports bf16/fp8/int8 (int4 is a TAR-ring-only format)
     oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
-                            "int8" if fused else kv_dtype)
+                            "int8" if fused or kv_dtype == "int4"
+                            else kv_dtype)
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
                       oar_cache_dtype=oar_kv,

@@ -109,6 +109,7 @@ def main(argv: Optional[list] = None) -> int:
                       tar_cache_dtype=args.kv_dtype,
                       oar_cache_dtype=(args.oar_kv_dtype or
                                        ("int8" if args.fused_oar
+                                        or args.kv_dtype == "int4"
                                         else args.kv_dtype)),
                       speculative_k=args.speculative_k,
                       fused_oar_kernel=args.fused_oar,
