@@ -76,3 +76,25 @@ def test_control_pkl_via_dataset(tmp_path):
                                        control_test=True))
     batch = ds[0]
     assert "dataset_token" in batch and "control_dict" in batch
+
+
+def test_cli_config_from_args_int4_guard():
+    """--kv_dtype int4 applies to the TAR rings only; the OAR cache falls
+    back to int8 unless --oar_kv_dtype overrides."""
+    from umgen_tpu.tools.evaluate import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--kv_dtype", "int4", "--model_scale", "debug"])
+    cfg = config_from_args(args)
+    assert cfg.tar_cache_dtype == "int4"
+    assert cfg.oar_cache_dtype == "int8"
+
+    args = build_parser().parse_args(
+        ["--kv_dtype", "int4", "--oar_kv_dtype", "bfloat16",
+         "--model_scale", "debug"])
+    assert config_from_args(args).oar_cache_dtype == "bfloat16"
+
+    args = build_parser().parse_args(
+        ["--kv_dtype", "float8_e4m3fn", "--model_scale", "debug"])
+    cfg = config_from_args(args)
+    assert cfg.oar_cache_dtype in ("float8_e4m3fn", "int8")

@@ -86,6 +86,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def config_from_args(args):
+    """argparse namespace → scaled ModelConfig (split out for unit tests).
+
+    The OAR cache supports bf16/fp8/int8; "int4" is a TAR-ring-only format
+    (nibble-packed with scale planes), so kv_dtype=int4 falls the OAR cache
+    back to int8 unless --oar_kv_dtype overrides it."""
+    from umgen_tpu.config import ModelConfig
+
+    return ModelConfig(task=args.pred_task,
+                       rule_constrain=args.rule_constrain,
+                       sample_method=args.sample_method,
+                       tar_mode=args.tar_mode,
+                       tar_cache_dtype=args.kv_dtype,
+                       oar_cache_dtype=(args.oar_kv_dtype or
+                                        ("int8" if args.fused_oar
+                                         or args.kv_dtype == "int4"
+                                         else args.kv_dtype)),
+                       speculative_k=args.speculative_k,
+                       fused_oar_kernel=args.fused_oar,
+                       tar_cache_window=args.tar_cache_window).scaled(
+                           args.model_scale)
+
+
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -102,19 +125,7 @@ def main(argv: Optional[list] = None) -> int:
     from umgen_tpu.models.umgen import UMGen, build_buffers
     from umgen_tpu.tools.harness import SceneRunner
 
-    cfg = ModelConfig(task=args.pred_task,
-                      rule_constrain=args.rule_constrain,
-                      sample_method=args.sample_method,
-                      tar_mode=args.tar_mode,
-                      tar_cache_dtype=args.kv_dtype,
-                      oar_cache_dtype=(args.oar_kv_dtype or
-                                       ("int8" if args.fused_oar
-                                        or args.kv_dtype == "int4"
-                                        else args.kv_dtype)),
-                      speculative_k=args.speculative_k,
-                      fused_oar_kernel=args.fused_oar,
-                      tar_cache_window=args.tar_cache_window).scaled(
-                          args.model_scale)
+    cfg = config_from_args(args)
     infer_cfg = InferConfig.for_task(args.infer_task,
                                      args.set_num_new_frames,
                                      batch_size=args.batch_size,
