@@ -66,6 +66,8 @@ def main():
                             else kv_dtype)
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
+                      chunked_prefill=os.environ.get(
+                          "UMGEN_BENCH_CHUNKED_PREFILL", "0") == "1",
                       oar_cache_dtype=oar_kv,
                       oar_pos_unroll=pos_unroll,
                       tar_cache_window=int(window) if window else None,
@@ -103,9 +105,23 @@ def main():
     cached = tar_mode == "temporal_cache"
     t0 = time.perf_counter()
     if cached:
-        prefill = jax.jit(ro.frame_step_prefill)
         step = jax.jit(ro.frame_step_cached, donate_argnums=(2,))
-        out, cache = prefill(params, inputs, rng)
+        if cfg.chunked_prefill and T > 1:
+            # frame-by-frame ring ingestion (peak memory: one frame's
+            # activations) — what makes B>=6 fit a 16 GB chip
+            ingest = jax.jit(ro.ingest_frame, donate_argnums=(3,))
+            cache = jax.jit(lambda: model.init_tar_cache(B))()
+            for t in range(T - 1):
+                frame_t = {m: inputs[m][:, t:t + 1]
+                           for m in model.layout.mod_order}
+                cache = ingest(params, frame_t, inputs["pose"][:, t + 1],
+                               cache)
+            last = {m: inputs[m][:, T - 1:]
+                    for m in model.layout.mod_order}
+            out, cache = step(params, last, cache, rng)
+        else:
+            prefill = jax.jit(ro.frame_step_prefill)
+            out, cache = prefill(params, inputs, rng)
         tokens = np.asarray(out.tokens)
         newest = {m: jnp.asarray(tokens[:, sl[m]][:, None]) for m in
                   model.layout.mod_order}

@@ -98,3 +98,7 @@ def test_cli_config_from_args_int4_guard():
         ["--kv_dtype", "float8_e4m3fn", "--model_scale", "debug"])
     cfg = config_from_args(args)
     assert cfg.oar_cache_dtype in ("float8_e4m3fn", "int8")
+
+    args = build_parser().parse_args(
+        ["--chunked_prefill", "--model_scale", "debug"])
+    assert config_from_args(args).chunked_prefill is True

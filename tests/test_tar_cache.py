@@ -216,6 +216,27 @@ def test_cached_int4_runs_and_tracks_fp32():
     assert agree > 0.5
 
 
+def test_chunked_prefill_matches_full():
+    """Frame-by-frame ring ingestion produces the same generation as the
+    full-window prefill program (identical math + RNG path)."""
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_cache_dtype="float32", tar_mode="temporal_cache")
+    cfg_f = ModelConfig(**base).scaled("tiny")
+    cfg_c = ModelConfig(chunked_prefill=True, **base).scaled("tiny")
+    m_f, m_c = UMGen(cfg_f), UMGen(cfg_c)
+    params = m_f.init_params(jax.random.PRNGKey(0))
+    cond = make_token_batch(m_f.layout, T=3, B=2, seed=0, config=cfg_f)
+    out_f = Generator(m_f, params, seed=7).generate(
+        cond, new_frames=2, cond_frames=20, input_cond_frames=3)
+    out_c = Generator(m_c, params, seed=7).generate(
+        cond, new_frames=2, cond_frames=20, input_cond_frames=3)
+    for m in out_f:
+        agree = (out_f[m] == out_c[m]).mean()
+        assert agree >= 0.998, (m, agree)
+
+
 def test_ring_window_shorter_than_prefill():
     """tar_cache_window < conditioning length: prefill scatters the last
     `window` frames at their absolute ring slots; subsequent frames evict

@@ -174,6 +174,13 @@ class ModelConfig:
     # the POSITION scan was measured slower — leave at 1.)
     oar_layer_unroll: int = 0
     oar_pos_unroll: int = 1
+    # chunked prefill: ingest the conditioning window into the TAR rings
+    # frame-by-frame instead of one full-window program.  Mathematically
+    # identical (cached == recompute pre-slide); peak memory drops from the
+    # whole [B, T, S, D] window's activations to one frame's — required
+    # for scene batches B>=6 on a 16 GB chip.  Costs ~T extra dispatches
+    # once per rollout.
+    chunked_prefill: bool = False
     # TAR temporal ring length; None = cond_frame (20).  Smaller windows
     # trade temporal context for ring memory (~265 MB fp8 per frame per
     # scene at the larger scale), enabling batched cached rollouts on one

@@ -58,6 +58,17 @@ class Generator:
 
         return wrapped
 
+    def _constrained_cache(self, fn):
+        """Like _constrained but for functions returning only a cache."""
+        if self.mesh is None:
+            return fn
+        from umgen_tpu.parallel.mesh import constrain_rollout_cache
+
+        def wrapped(*args, **kwargs):
+            return constrain_rollout_cache(fn(*args, **kwargs), self.mesh)
+
+        return wrapped
+
     def _place_inputs(self, dev_inputs):
         if self.mesh is None:
             return dev_inputs
@@ -224,9 +235,31 @@ class Generator:
             if idx == 0:
                 dev_inputs = self._place_inputs(
                     {m: jnp.asarray(out[m], dtype=jnp.int32) for m in mods})
-                res, cache = prefill(self.params, dev_inputs,
-                                     step_rng, pose_override=pose_override,
-                                     control_bbox=control_bbox)
+                T0 = dev_inputs["pose"].shape[1]
+                if self.model.config.chunked_prefill and T0 > 1:
+                    # frame-by-frame ring ingestion: peak memory is one
+                    # frame's activations, not the [B, T, S, D] window
+                    ingest = jax.jit(self._constrained_cache(
+                        self.rollout.ingest_frame), donate_argnums=(3,))
+                    B0 = dev_inputs["pose"].shape[0]
+                    cache = jax.jit(
+                        self._constrained_cache(
+                            lambda: self.model.init_tar_cache(B0)))()
+                    for t in range(T0 - 1):
+                        frame_t = {m: dev_inputs[m][:, t:t + 1]
+                                   for m in mods}
+                        cache = ingest(self.params, frame_t,
+                                       dev_inputs["pose"][:, t + 1], cache)
+                    last = {m: dev_inputs[m][:, T0 - 1:] for m in mods}
+                    res, cache = step_fn(self.params, last, cache,
+                                         step_rng,
+                                         pose_override=pose_override,
+                                         control_bbox=control_bbox)
+                else:
+                    res, cache = prefill(self.params, dev_inputs,
+                                         step_rng,
+                                         pose_override=pose_override,
+                                         control_bbox=control_bbox)
             else:
                 res, cache = step_fn(self.params, newest, cache, step_rng,
                                      pose_override=pose_override,

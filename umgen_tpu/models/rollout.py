@@ -688,6 +688,30 @@ class Rollout:
                                  last_bbox, control_mask, rng)
         return out, cache
 
+    def ingest_frame(self, params: Params, raw_frame: Dict[str, jnp.ndarray],
+                     next_pose: jnp.ndarray, cache: Dict) -> Dict:
+        """Chunked prefill: push ONE conditioning frame into the ego + TAR
+        rings without decoding.  raw_frame: {mod: [B, 1, len]} frame t;
+        next_pose: [B, 3] raw pose tokens of frame t+1 (the shifted-window
+        semantics of `prefill_tar_caches` — the TAR rings see each frame
+        with the action that leads OUT of it).
+
+        Ingesting the window frame-by-frame is mathematically identical to
+        the full-window prefill (cached == recompute pre-slide) but its
+        peak memory is one frame's activations instead of the whole
+        [B, T, S, D] window — the full-window prefill program is what OOMs
+        first at large scene batches (B>=6 on a 16 GB chip)."""
+        model = self.model
+        abs_frame = cache["frames"]
+        _, cache = model.ego_logits_cached(params, raw_frame, cache,
+                                           abs_frame)
+        shifted = dict(raw_frame)
+        shifted["pose"] = next_pose[:, None, :]
+        pri = model.tar_priors_cached(params, shifted, cache, abs_frame)
+        cache = pri["cache"]
+        cache["frames"] = abs_frame + 1
+        return cache
+
     def frame_step_cached(self, params: Params,
                           newest_frame: Dict[str, jnp.ndarray],
                           cache: Dict, rng: jax.Array,

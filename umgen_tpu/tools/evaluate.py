@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "map/image segments (0 = off)")
     p.add_argument("--tar_cache_window", type=int, default=None,
                    help="temporal ring length (default: cond_frames)")
+    p.add_argument("--chunked_prefill", action="store_true",
+                   help="ingest the conditioning window frame-by-frame "
+                   "(same math, far lower peak memory — for large scene "
+                   "batches)")
     p.add_argument("--fused_oar", action="store_true",
                    help="single-launch Pallas decode kernel (TPU; forces "
                    "int8 OAR KV storage and requires --int8 != off)")
@@ -105,6 +109,7 @@ def config_from_args(args):
                                          else args.kv_dtype)),
                        speculative_k=args.speculative_k,
                        fused_oar_kernel=args.fused_oar,
+                       chunked_prefill=args.chunked_prefill,
                        tar_cache_window=args.tar_cache_window).scaled(
                            args.model_scale)
 
