@@ -46,10 +46,11 @@ def main():
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
     n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
-    # default serving config: 3 parallel scenes at the faithful 20-frame
-    # window, int4 TAR rings + int8 OAR cache, int8 weights (the rings cap
-    # the per-chip batch; int4 fits B=3 full-window in 16 GB)
-    B = int(os.environ.get("UMGEN_BENCH_BATCH", "3"))
+    # default serving config: 4 parallel scenes at the faithful 20-frame
+    # window, int4 TAR rings + int8 OAR cache, int8 weights, chunked
+    # prefill (the rings cap the per-chip batch; int4 + frame-by-frame
+    # prefill fit B=4 full-window in 16 GB)
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "4"))
     tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
     kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "int4")
     T = 20                      # flagship conditioning window
@@ -67,7 +68,7 @@ def main():
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
                       chunked_prefill=os.environ.get(
-                          "UMGEN_BENCH_CHUNKED_PREFILL", "0") == "1",
+                          "UMGEN_BENCH_CHUNKED_PREFILL", "1") == "1",
                       oar_cache_dtype=oar_kv,
                       oar_pos_unroll=pos_unroll,
                       tar_cache_window=int(window) if window else None,
