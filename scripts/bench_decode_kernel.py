@@ -96,6 +96,10 @@ def main():
             elif v == "v4":
                 packed = dk.pack_fused_oar_v4(params)
                 fn = dk.fused_decode_step_v4
+            elif v == "v7":
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v7
+                shape = (L, B, S, H * Dh)      # flat cache required
             elif v == "v5":
                 packed = dk.pack_fused_oar(params)
                 fn = dk.fused_decode_step_v5
@@ -110,7 +114,7 @@ def main():
                 shape = (L, B, S, H * Dh)      # 4-D lane-aligned cache
             else:
                 continue
-            if not (v.startswith("v5flat") or v == "v6"):
+            if not (v.startswith("v5flat") or v in ("v6", "v7")):
                 shape = kv_shape
 
             @functools.partial(jax.jit, donate_argnums=(2, 3))

@@ -192,6 +192,11 @@ class ModelConfig:
     # 4 selects the W4A8 fused kernel (group-128 int4 weights, ~4-8%
     # per-matmul rel err vs <2% for int8) — an opt-in serving knob
     oar_weight_bits: int = 8
+    # fused decode kernel generation on the flat int8 cache: 7 (block-
+    # diagonal batched attention — one MXU dot pair per (layer, S-block)
+    # for ALL scenes; needs B*n_head <= 128, auto-falls back to 5) or
+    # 5 (per-scene attention loop)
+    oar_kernel_version: int = 7
     # speculative decoding for the map/image segments: the TAR prior is a
     # position-wise draft model (it is trained to predict exactly these
     # positions); chunks of K drafts verify in ONE multi-query OAR step,

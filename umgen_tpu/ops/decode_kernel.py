@@ -2051,3 +2051,275 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
     kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
                                         (0, 0, cl0, 0))
     return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v7: v5 with the per-scene attention loop replaced by block-diagonal MXU
+# ===========================================================================
+# v5's flash update runs a Python loop over scenes: per (layer, S-block, b)
+# it issues two small dots ([bs, HD]@[HD, H<=16 lanes] and the AV partial)
+# plus a VPU stats chain.  Each small Mosaic op carries ~1-2 us issue cost,
+# so per-step latency grows ~1 ms per scene (microbench: 2.44/4.41/6.42/
+# 8.39 ms at B=2/4/6/8, S=2208) and the padded-H dots waste 7/8 of the MXU
+# lanes.  v7 computes ALL scenes' attention with two rank-2 dots per
+# (layer, S-block):
+#
+#   logits [B*bs, B*H] = kv-block (stacked scenes) @ qp  [HD, B*H]
+#   part   [B*H,  HD ] = p^T @ v-block (contract dim 0 of both)
+#
+# where qp holds every scene's quantized q(x)pool operand side by side and
+# the cross-scene blocks of `logits` are masked to -inf before softmax
+# (they cost B^2/B more MXU work, but decode is DMA-bound and the lanes
+# were padded anyway; B*H<=128 keeps one lane tile).  All stats (m, den,
+# acc) vectorize over [B, H].  Selector constants (esel/eselT) and tiled
+# pool planes turn the per-scene gathers into dots with the two
+# dimension-number forms Mosaic already lowers in v3/v5: ((1,),(0,)) and
+# ((0,),(0,)).  Same int8 flat-cache contract as v5.
+
+def _kernel_v7(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+               wpj_ref, kvk_ref, kvv_ref,
+               esel_ref, eselt_ref, poolbig_ref, pooltb_ref,
+               h_out_ref, kvnew_ref,
+               h_scr, qp_scr, qs_scr, m_scr, den_scr, acc_scr,
+               *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    B, d = x_ref.shape
+    HD = H * Dh
+    BH = B * H
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    # ---- ns == 0: hidden init, QKV, batched quantized q-pool, self ----
+    @pl.when(ns == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        # qp [HD, B*H]: column b*H+h = q[b] * pool[:, h]; built without
+        # transposes via q^T·eselT = dot_general contracting dim 0 of both
+        q_exp = jax.lax.dot_general(q, eselt_ref[:],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        qp = q_exp * poolbig_ref[:]                       # [HD, BH]
+        sc = jnp.max(jnp.abs(qp), axis=0, keepdims=True) / 127.0 + 1e-12
+        qp_scr[:] = jnp.clip(jnp.round(qp / sc), -127, 127)
+        qs_scr[0:1, :BH] = sc
+        # self logit per (b, h), stored in [1, BH] lane layout (column
+        # c = b*H + h) — Mosaic cannot reshape [BH] across sublanes, so
+        # every flash stat lives in this layout end-to-end
+        sl_full = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), poolbig_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [B, BH]
+        sl_bh = jnp.sum(eselt_ref[:] * sl_full, axis=0, keepdims=True)
+        m_scr[0:1, :BH] = sl_bh
+        den_scr[0:1, :BH] = jnp.ones_like(sl_bh)
+        acc_scr[:] = v_new
+
+    # ---- every S-block: one masked block-diagonal MXU flash update ----
+    base = ns * bs
+    km = kvk_ref[0].reshape(B * bs, HD)                   # i8, scene-major
+    vm = kvv_ref[0].reshape(B * bs, HD)
+    qp_i8 = qp_scr[:].astype(jnp.int8)                    # [HD, BH]
+    li = jax.lax.dot_general(km, qp_i8, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)  # [B*bs, BH]
+    sc = qs_scr[0, :BH]                                   # [BH]
+    logits = li.astype(jnp.float32) * (sc[None, :]
+                                       * (scale / KV_INT8_SCALE))
+    row = jax.lax.broadcasted_iota(jnp.int32, (B * bs, BH), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B * bs, BH), 1)
+    keep = (row // bs == col // H) & (base + row % bs < cl)
+    logits = jnp.where(keep, logits, -jnp.inf)
+    m_old = m_scr[0:1, :BH]                               # [1, BH]
+    m_blk = jnp.max(logits, axis=0, keepdims=True)        # [1, BH]
+    m_new = jnp.maximum(m_old, m_blk)
+    corr = jnp.exp(m_old - m_new)                         # [1, BH]
+    p = jnp.exp(logits - m_new)                           # [B*bs, BH]
+    den = den_scr[0:1, :BH] * corr + jnp.sum(p, axis=0, keepdims=True)
+    part = jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        (vm.astype(jnp.bfloat16) * (1.0 / KV_INT8_SCALE)
+         ).astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [BH, HD]
+    blk_mix = jax.lax.dot_general(esel_ref[:], part * pooltb_ref[:],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    # expand [1, BH] -> [B, HD]: row b, lanes of head h get corr[0, b*H+h]
+    corr_lanes = jax.lax.dot_general(eselt_ref[:] * corr, pooltb_ref[:],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * corr_lanes + blk_mix        # [B, HD]
+    m_scr[0:1, :BH] = m_new
+    den_scr[0:1, :BH] = den
+
+    # ---- ns == NS-1: finalize, proj, MLP ----
+    @pl.when(ns == n_sblk - 1)
+    def _():
+        h = h_scr[:]
+        den_lanes = jax.lax.dot_general(
+            eselt_ref[:] * den_scr[0:1, :BH], pooltb_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_v7(packed: Params, x: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                         cache_len, n_head: int, block_s: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batch-vectorized fused decode step (v5 contract, block-diagonal
+    attention).  Requires flat [L, B, S, H*Dh] int8 KV caches, B*H <= 128,
+    and pack_fused_oar params."""
+    L, B, S, HDk = kv_k.shape
+    H = n_head
+    Dh = HDk // H
+    assert kv_k.dtype == jnp.int8, "v7 requires int8 KV storage"
+    assert B * H <= 128, "v7 packs all scenes' heads into one lane tile"
+    d = x.shape[-1]
+    HD = H * Dh
+    BH = B * H
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    pool_np = np.asarray(_head_pool_matrix(H, Dh), np.float32)  # [HD, H]
+    esel_np = np.kron(np.eye(B, dtype=np.float32),
+                      np.ones((H, 1), np.float32))        # [BH, B]
+    esel = jnp.asarray(esel_np)
+    eselt = jnp.asarray(esel_np.T.copy())                 # [B, BH]
+    poolbig = jnp.asarray(np.tile(pool_np, (1, B)))       # [HD, BH]
+    pooltb = jnp.asarray(np.tile(pool_np.T, (B, 1)))      # [BH, HD]
+
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (1, B, bs, HD),
+            lambda l, ns, nblk_ref, cl_ref: (
+                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_v7, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, NS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 4 * d)),                             # wqp
+            lagged((d, 4 * d), lag_fc),                   # wfc
+            lagged((4 * d, d), lag_pj),                   # wpj
+            kv_spec(), kv_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # esel
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # eselt
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolbig
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pooltb
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),       # h
+                        pltpu.VMEM((HD, BH), jnp.float32),     # q-pool
+                        pltpu.VMEM((8, 128), jnp.float32),     # q scales
+                        pltpu.VMEM((B, 128), jnp.float32),     # m
+                        pltpu.VMEM((B, 128), jnp.float32),     # den
+                        pltpu.VMEM((B, HD), jnp.float32)],     # acc
+    )
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc,
+      wpj, kv_k, kv_v, esel, eselt, poolbig, pooltb)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, HD)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0))
+    return h_out[:, None, :], kv_k, kv_v

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oar_kv_dtype", type=str, default=None,
                    help="override the OAR cache dtype separately "
                    "(e.g. int8 for the fused kernel)")
+    p.add_argument("--oar_kernel", type=int, default=7, choices=(5, 7),
+                   help="fused decode kernel generation: 7 = block-"
+                   "diagonal batched attention (default; needs "
+                   "batch*heads <= 128, else auto-falls back to 5), "
+                   "5 = per-scene attention loop")
     return p
 
 
@@ -109,6 +114,7 @@ def config_from_args(args):
                                          else args.kv_dtype)),
                        speculative_k=args.speculative_k,
                        fused_oar_kernel=args.fused_oar,
+                       oar_kernel_version=args.oar_kernel,
                        chunked_prefill=args.chunked_prefill,
                        tar_cache_window=args.tar_cache_window).scaled(
                            args.model_scale)
