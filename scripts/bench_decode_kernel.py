@@ -72,11 +72,14 @@ def main():
     ap.add_argument("--steps", type=int, default=64,
                     help="sequential steps per timing rep (amortizes host "
                          "dispatch; per-step time is reported)")
+    ap.add_argument("--s", type=int, default=2208,
+                    help="cache length (rollout segment slices: 1031 map, "
+                         "1693 bbox, 2207 image)")
     args = ap.parse_args()
 
     from umgen_tpu.ops import decode_kernel as dk
 
-    L, d, H, Dh, S = 36, 768, 16, 48, 2208
+    L, d, H, Dh, S = 36, 768, 16, 48, args.s
     params = quantize(make_params(L, d, 0))
 
     for B in [int(x) for x in args.b.split(",")]:
@@ -101,6 +104,16 @@ def main():
                 fn = dk.fused_decode_step_v7
                 shape = (L, B, S, H * Dh)      # flat cache required
             elif v == "v5":
+                # NB "v5" benches the serving layout (flat [L,B,S,H*Dh]
+                # cache).  The head-split 5-D cache — which costs a
+                # physical whole-cache relayout copy per step — is
+                # available as "v5head"; an earlier version of this
+                # script silently used it for "v5", which made v7 look
+                # 3.5x faster than it is.
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v5
+                shape = (L, B, S, H * Dh)
+            elif v == "v5head":
                 packed = dk.pack_fused_oar(params)
                 fn = dk.fused_decode_step_v5
             elif v == "v6":
@@ -112,9 +125,15 @@ def main():
                 bs = int(v[7:]) if len(v) > 7 else 0
                 fn = functools.partial(dk.fused_decode_step_v5, block_s=bs)
                 shape = (L, B, S, H * Dh)      # 4-D lane-aligned cache
+            elif v.startswith("v5bb"):         # batch-split grid, e.g. v5bb2
+                packed = dk.pack_fused_oar(params)
+                fn = functools.partial(dk.fused_decode_step_v5,
+                                       batch_block=int(v[4:]))
+                shape = (L, B, S, H * Dh)
             else:
                 continue
-            if not (v.startswith("v5flat") or v in ("v6", "v7")):
+            if not (v.startswith(("v5flat", "v5bb"))
+                    or v in ("v5", "v6", "v7")):
                 shape = kv_shape
 
             @functools.partial(jax.jit, donate_argnums=(2, 3))

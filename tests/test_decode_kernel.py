@@ -332,3 +332,50 @@ def test_fused_v7_matches_xla(cl, B):
     krow_f = (np.asarray(kk_f.astype(jnp.float32))[:, :, cl]
               / KV_INT8_SCALE).reshape(krow_ref.shape)
     np.testing.assert_allclose(krow_ref, krow_f, atol=0.1)
+
+
+@tpu_only
+@pytest.mark.parametrize("cl,B,bb", [(100, 4, 2), (907, 4, 2), (100, 4, 1),
+                                     (907, 6, 3)])
+def test_fused_v5_batch_block_matches_xla(cl, B, bb):
+    """v5 with the batch-split grid (batch groups on an innermost grid
+    dim, shared per-(layer, S-block) weight fetches) vs the XLA step on
+    the flat cache."""
+    from umgen_tpu.ops.decode_kernel import (fused_decode_step_v5,
+                                             pack_fused_oar,
+                                             KV_INT8_SCALE)
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=4)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 4,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = pack_fused_oar(pq["oar"])
+    S = 1104
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (4, B, S, cfg.n_head,
+                                            cfg.head_dim)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_bf, vv_bf, jnp.int32(cl))
+    kv = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8)
+    vv = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * KV_INT8_SCALE),
+                  -127, 127).astype(jnp.int8)
+    kv = kv.reshape(4, B, S, cfg.n_head * cfg.head_dim)
+    vv = vv.reshape(4, B, S, cfg.n_head * cfg.head_dim)
+    h_f, kk_f, _ = fused_decode_step_v5(packed, x, kv, vv, jnp.int32(cl),
+                                        n_head=cfg.n_head, batch_block=bb)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    a = np.asarray(h_ref, np.float32)
+    b = np.asarray(h_f, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.08
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl]
+    krow_f = (np.asarray(kk_f.astype(jnp.float32))[:, :, cl]
+              / KV_INT8_SCALE).reshape(krow_ref.shape)
+    np.testing.assert_allclose(krow_ref, krow_f, atol=0.1)

@@ -192,11 +192,18 @@ class ModelConfig:
     # 4 selects the W4A8 fused kernel (group-128 int4 weights, ~4-8%
     # per-matmul rel err vs <2% for int8) — an opt-in serving knob
     oar_weight_bits: int = 8
-    # fused decode kernel generation on the flat int8 cache: 7 (block-
-    # diagonal batched attention — one MXU dot pair per (layer, S-block)
-    # for ALL scenes; needs B*n_head <= 128, auto-falls back to 5) or
-    # 5 (per-scene attention loop)
-    oar_kernel_version: int = 7
+    # fused decode kernel generation on the flat int8 cache: 5 (per-scene
+    # attention loop — the default; measured at the HBM DMA floor for the
+    # rollout's segment shapes) or 7 (block-diagonal batched attention —
+    # one MXU dot pair per (layer, S-block) for ALL scenes; needs
+    # B*n_head <= 128.  Its B×-redundant logit/AV dots make it compute-
+    # bound at B>=4: scan-timed 2.53 vs 5's 1.18 ms/step at B=4 S=2207)
+    oar_kernel_version: int = 5
+    # v5 batch-group size: split the batch into groups of this size on an
+    # innermost grid dimension (weight fetches shared across groups, KV
+    # blocks shrink to the group) so the kernel fits VMEM at large B.
+    # 0 = whole batch; B=8 needs 2 or 4.
+    oar_batch_block: int = 0
     # speculative decoding for the map/image segments: the TAR prior is a
     # position-wise draft model (it is trained to predict exactly these
     # positions); chunks of K drafts verify in ONE multi-query OAR step,

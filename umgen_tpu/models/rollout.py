@@ -151,6 +151,9 @@ class Rollout:
                     fused = dk.fused_decode_step_v7
                 elif kv_k.ndim == 4:             # flat cache -> v5
                     fused = dk.fused_decode_step_v5
+                    if cfg.oar_batch_block:
+                        fused = functools.partial(
+                            fused, batch_block=cfg.oar_batch_block)
                 elif "wqkv" in params["oar_packed"]:
                     fused = dk.fused_decode_step_v4
                 else:

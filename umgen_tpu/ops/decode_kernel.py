@@ -1154,10 +1154,15 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                h_out_ref, kvnew_ref,
                h_scr, qp_scr, m_scr, den_scr, acc_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-               eps: float = 1e-5):
+               n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
     ns = pl.program_id(1)
+    # batch-group grid dim (innermost, so per-(l, ns) weight blocks are
+    # fetched once and reused across groups); absent when n_bblk == 1 so
+    # the whole-batch path compiles exactly as before
+    nb = pl.program_id(2) if n_bblk > 1 else None
     B, d = x_ref.shape
+    bg = B // n_bblk                   # scenes per batch group
     HD = H * Dh
     scale = 1.0 / math.sqrt(Dh)
     cl = cl_ref[0]
@@ -1185,8 +1190,12 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
     pool = pool_ref[:]                 # [HD, H] f32
     poolt = poolt_ref[:]               # [H, HD] f32
 
-    # ---- ns == 0: hidden init, QKV, quantized q-pool, self-term ----
-    @pl.when(ns == 0)
+    # ---- ns == 0 (first batch group): hidden init, QKV, quantized
+    # q-pool, self-term — computed for the WHOLE batch in one pass so
+    # the qdot matmuls stay large ----
+    init = (ns == 0) if n_bblk == 1 else ((ns == 0) & (nb == 0))
+
+    @pl.when(init)
     def _():
         @pl.when(l == 0)
         def _():
@@ -1215,27 +1224,29 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         acc_scr[:] = v_new
 
     # ---- every S-block: MXU flash update (invalid rows masked) ----
+    # rows of this batch group; with n_bblk == 1 the indices are static
     base = ns * bs
     spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
     valid = spos < cl
-    for b in range(B):
-        kmat = kvk_ref[0, b]                             # [bs, HD] i8
-        vmat = kvv_ref[0, b]
-        qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
-        sq = den_scr[b, 120]
+    for bb in range(bg):
+        rb = bb if n_bblk == 1 else nb * bg + bb
+        kmat = kvk_ref[0, bb]                            # [bs, HD] i8
+        vmat = kvv_ref[0, bb]
+        qp_i8 = qp_scr[pl.ds(rb * HD, HD), :H].astype(jnp.int8)
+        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
         li = jax.lax.dot_general(kmat, qp_i8,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         logits = (li.astype(jnp.float32)
-                  * (sq * scale / KV_INT8_SCALE))        # [bs, H]
+                  * (sq * (scale / KV_INT8_SCALE)))      # [bs, H]
         logits = jnp.where(valid, logits, -jnp.inf)
-        m_old = m_scr[b:b + 1, :H]
+        m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
                                            keepdims=True))
         corr = jnp.exp(m_old - m_new)
         p = jnp.exp(logits - m_new)                      # [bs, H] f32
-        den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
-                                                    keepdims=True)
+        den = den_scr[pl.ds(rb, 1), :H] * corr + jnp.sum(p, axis=0,
+                                                         keepdims=True)
         part = jax.lax.dot_general(
             p.astype(jnp.bfloat16),
             (vmat.astype(jnp.bfloat16)
@@ -1246,13 +1257,16 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                           keepdims=True)                 # [1, HD]
         corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
                              keepdims=True)              # [1, HD]
-        acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
-                               + blk_mix)
-        m_scr[b:b + 1, :H] = m_new
-        den_scr[b:b + 1, :H] = den
+        acc_scr[pl.ds(rb, 1), :] = (acc_scr[pl.ds(rb, 1), :] * corr_lanes
+                                    + blk_mix)
+        m_scr[pl.ds(rb, 1), :H] = m_new
+        den_scr[pl.ds(rb, 1), :H] = den
 
-    # ---- ns == NS-1: finalize, proj, MLP ----
-    @pl.when(ns == n_sblk - 1)
+    # ---- ns == NS-1 (last batch group): finalize, proj, MLP ----
+    fin = ((ns == n_sblk - 1) if n_bblk == 1
+           else ((ns == n_sblk - 1) & (nb == n_bblk - 1)))
+
+    @pl.when(fin)
     def _():
         h = h_scr[:]
         den_lanes_rows = []
@@ -1279,16 +1293,24 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             h_out_ref[:] = h.astype(h_out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
                          kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                         cache_len, n_head: int, block_s: int = 0
+                         cache_len, n_head: int, block_s: int = 0,
+                         batch_block: int = 0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static-pipeline fused decode step (v3 compute, static DMA).
 
     Requires int8 KV caches (KV_INT8_SCALE grid) and pack_fused_oar
     params.  Streams the WHOLE (caller-sliced) cache every step; callers
     keep traffic proportional to the prefix via per-segment slicing.
+
+    batch_block > 0 splits the batch into groups of that size on a third
+    (innermost) grid dimension: per-(layer, S-block) weight fetches are
+    shared across groups while each group's KV block is batch_block
+    scenes, capping the kernel's VMEM footprint at large B (whole-batch
+    blocks stop fitting around B=8).  0 = whole batch (the default).
     """
     # Accept [L, B, S, HD] (preferred: Dh=48 is lane-padded by XLA, so a
     # 5-D cache forces a physical relayout copy per step) or [L, B, S, H,
@@ -1333,6 +1355,13 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
     # the old v3 slowness was the 5-D cache relayout, not this map.
     nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
 
+    if batch_block and batch_block < B and B % batch_block == 0:
+        Bg, NB = batch_block, B // batch_block
+        grid = (L, NS, NB)
+    else:
+        Bg, NB = B, 1
+        grid = (L, NS)
+
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
                             lambda l, ns, *_: (l,) + (0,) * len(shape))
@@ -1344,18 +1373,29 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
                 jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
 
     def kv_spec():
+        if NB == 1:
+            return pl.BlockSpec(
+                (1, B, bs, HD),
+                lambda l, ns, nblk_ref, cl_ref: (
+                    l, 0,
+                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
         return pl.BlockSpec(
-            (1, B, bs, HD),
-            lambda l, ns, nblk_ref, cl_ref: (
-                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+            (1, Bg, bs, HD),
+            lambda l, ns, nb, nblk_ref, cl_ref: (
+                l, nb,
+                jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+
+    def kvnew_spec():
+        return pl.BlockSpec((1, B, 2 * HD),
+                            lambda l, ns, *_: (l, 0, 0))
 
     lag_pj = 1 if NS > 2 else 0
     lag_fc = 2 if NS > 2 else 0
     kernel = functools.partial(_kernel_v5, n_layers=L, n_sblk=NS, bs=bs,
-                               H=H, Dh=Dh)
+                               H=H, Dh=Dh, n_bblk=NB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(L, NS),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),        # x
             at_l((1, packed["vec"].shape[-1])),           # vec
@@ -1368,7 +1408,7 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+            kvnew_spec(),
         ],
         scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
                         pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
@@ -1384,7 +1424,7 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
             jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=110 * 1024 * 1024),
     )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc,
       wpj, kvk, kvv, pool, poolt)
@@ -2056,12 +2096,16 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
 # ===========================================================================
 # v7: v5 with the per-scene attention loop replaced by block-diagonal MXU
 # ===========================================================================
-# v5's flash update runs a Python loop over scenes: per (layer, S-block, b)
-# it issues two small dots ([bs, HD]@[HD, H<=16 lanes] and the AV partial)
-# plus a VPU stats chain.  Each small Mosaic op carries ~1-2 us issue cost,
-# so per-step latency grows ~1 ms per scene (microbench: 2.44/4.41/6.42/
-# 8.39 ms at B=2/4/6/8, S=2208) and the padded-H dots waste 7/8 of the MXU
-# lanes.  v7 computes ALL scenes' attention with two rank-2 dots per
+# EXPERIMENTAL — kept for the record; v5 remains the default.  v7 was
+# motivated by per-call microbench numbers (2.44/4.41/6.42/8.39 ms at
+# B=2/4/6/8, S=2208) that turned out to be dominated by a fixed ~1-2 ms
+# relay overhead PER CALL; scan-timed device latencies show v5 already at
+# the HBM DMA floor (0.80 ms at B=4 S=1031, 1.18 ms at S=2207) while
+# v7's B×-redundant dots make it compute-bound (2.53 ms at B=4 S=2207;
+# it only ties v5 when S decomposes into >=3 blocks).  Time kernels with
+# >=256-step scans, never per-call wall time (see tpu-v5e relay notes).
+#
+# v7 computes ALL scenes' attention with two rank-2 dots per
 # (layer, S-block):
 #
 #   logits [B*bs, B*H] = kv-block (stacked scenes) @ qp  [HD, B*H]

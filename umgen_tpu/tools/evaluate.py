@@ -87,11 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oar_kv_dtype", type=str, default=None,
                    help="override the OAR cache dtype separately "
                    "(e.g. int8 for the fused kernel)")
-    p.add_argument("--oar_kernel", type=int, default=7, choices=(5, 7),
-                   help="fused decode kernel generation: 7 = block-"
-                   "diagonal batched attention (default; needs "
-                   "batch*heads <= 128, else auto-falls back to 5), "
-                   "5 = per-scene attention loop")
+    p.add_argument("--oar_kernel", type=int, default=5, choices=(5, 7),
+                   help="fused decode kernel generation: 5 = per-scene "
+                   "attention loop (default; at the DMA floor for the "
+                   "rollout's shapes), 7 = block-diagonal batched "
+                   "attention (experimental; compute-bound at B>=4)")
+    p.add_argument("--oar_batch_block", type=int, default=0,
+                   help="v5 kernel batch-group size (innermost grid dim; "
+                   "shares weight fetches across groups so the kernel "
+                   "fits VMEM at large B — use 2 or 4 for B=8; 0 = whole "
+                   "batch)")
     return p
 
 
@@ -115,6 +120,7 @@ def config_from_args(args):
                        speculative_k=args.speculative_k,
                        fused_oar_kernel=args.fused_oar,
                        oar_kernel_version=args.oar_kernel,
+                       oar_batch_block=args.oar_batch_block,
                        chunked_prefill=args.chunked_prefill,
                        tar_cache_window=args.tar_cache_window).scaled(
                            args.model_scale)
