@@ -130,9 +130,15 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5,
                                        batch_block=int(v[4:]))
                 shape = (L, B, S, H * Dh)
+            elif v.startswith("w4"):           # W4A8; w4bbN = batch-split
+                packed = dk.pack_fused_oar_w4(make_params(L, d, 0))
+                bb = int(v[4:]) if v.startswith("w4bb") else 0
+                fn = functools.partial(dk.fused_decode_step_w4,
+                                       batch_block=bb)
+                shape = (L, B, S, H * Dh)
             else:
                 continue
-            if not (v.startswith(("v5flat", "v5bb"))
+            if not (v.startswith(("v5flat", "v5bb", "w4"))
                     or v in ("v5", "v6", "v7")):
                 shape = kv_shape
 

@@ -244,11 +244,12 @@ def test_fused_v6_matches_xla(cl):
 
 
 @tpu_only
-@pytest.mark.parametrize("cl", [100, 900])
-def test_fused_w4_matches_xla(cl):
+@pytest.mark.parametrize("cl,bb", [(100, 0), (900, 0), (100, 1), (900, 1)])
+def test_fused_w4_matches_xla(cl, bb):
     """W4A8 kernel vs the UN-quantized bf16 XLA step: int4 group
     quantization adds real error — assert it stays within the documented
-    serving envelope (<15% rel on the hidden state at 4 layers)."""
+    serving envelope (<15% rel on the hidden state at 4 layers).  bb=1
+    exercises the batch-split grid (2 groups of 1 scene at B=2)."""
     from umgen_tpu.ops.decode_kernel import (fused_decode_step_w4,
                                              pack_fused_oar_w4,
                                              KV_INT8_SCALE)
@@ -276,7 +277,7 @@ def test_fused_w4_matches_xla(cl):
     vv = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * KV_INT8_SCALE),
                   -127, 127).astype(jnp.int8).reshape(4, B, S, HD)
     h_f, kk_f, _ = fused_decode_step_w4(packed, x, kv, vv, jnp.int32(cl),
-                                        n_head=cfg.n_head)
+                                        n_head=cfg.n_head, batch_block=bb)
     h_f = nn.layer_norm(params["ln_oar"], h_f)
     a = np.asarray(h_ref, np.float32)
     b = np.asarray(h_f, np.float32)

@@ -146,6 +146,9 @@ class Rollout:
                 from umgen_tpu.ops import decode_kernel as dk
                 if "wqp4" in params["oar_packed"]:   # W4A8 packing
                     fused = dk.fused_decode_step_w4
+                    if cfg.oar_batch_block:
+                        fused = functools.partial(
+                            fused, batch_block=cfg.oar_batch_block)
                 elif kv_k.ndim == 4 and cfg.oar_kernel_version == 7 \
                         and B * n_head <= 128:   # flat cache -> batched v7
                     fused = dk.fused_decode_step_v7

@@ -1810,10 +1810,13 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                h_out_ref, kvnew_ref,
                h_scr, qp_scr, m_scr, den_scr, acc_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-               eps: float = 1e-5):
+               n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
     ns = pl.program_id(1)
+    # batch-group grid dim (innermost; see _kernel_v5)
+    nb = pl.program_id(2) if n_bblk > 1 else None
     B, d = x_ref.shape
+    bg = B // n_bblk
     HD = H * Dh
     G = W4_GROUP
     scale = 1.0 / math.sqrt(Dh)
@@ -1892,8 +1895,11 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
     pool = pool_ref[:]
     poolt = poolt_ref[:]
 
-    # ---- ns == 0: hidden init, QKV (int4), q-pool, self-term ----
-    @pl.when(ns == 0)
+    # ---- ns == 0 (first batch group): hidden init, QKV (int4), q-pool,
+    # self-term — whole batch in one pass ----
+    init = (ns == 0) if n_bblk == 1 else ((ns == 0) & (nb == 0))
+
+    @pl.when(init)
     def _():
         @pl.when(l == 0)
         def _():
@@ -1921,28 +1927,29 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         den_scr[:, :H] = jnp.ones_like(sl_all)
         acc_scr[:] = v_new
 
-    # ---- every S-block: MXU flash update ----
+    # ---- every S-block: MXU flash update (this batch group's rows) ----
     base = ns * bs
     spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
     valid = spos < cl
-    for b in range(B):
-        kmat = kvk_ref[0, b]
-        vmat = kvv_ref[0, b]
-        qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
-        sq = den_scr[b, 120]
+    for bb in range(bg):
+        rb = bb if n_bblk == 1 else nb * bg + bb
+        kmat = kvk_ref[0, bb]
+        vmat = kvv_ref[0, bb]
+        qp_i8 = qp_scr[pl.ds(rb * HD, HD), :H].astype(jnp.int8)
+        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
         li = jax.lax.dot_general(kmat, qp_i8,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         logits = (li.astype(jnp.float32)
-                  * (sq * scale / KV_INT8_SCALE))
+                  * (sq * (scale / KV_INT8_SCALE)))
         logits = jnp.where(valid, logits, -jnp.inf)
-        m_old = m_scr[b:b + 1, :H]
+        m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
                                            keepdims=True))
         corr = jnp.exp(m_old - m_new)
         p = jnp.exp(logits - m_new)
-        den = den_scr[b:b + 1, :H] * corr + jnp.sum(p, axis=0,
-                                                    keepdims=True)
+        den = den_scr[pl.ds(rb, 1), :H] * corr + jnp.sum(p, axis=0,
+                                                         keepdims=True)
         part = jax.lax.dot_general(
             p.astype(jnp.bfloat16),
             (vmat.astype(jnp.bfloat16)
@@ -1952,13 +1959,16 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         blk_mix = jnp.sum(part * poolt, axis=0, keepdims=True)
         corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
                              keepdims=True)
-        acc_scr[b:b + 1, :] = (acc_scr[b:b + 1, :] * corr_lanes
-                               + blk_mix)
-        m_scr[b:b + 1, :H] = m_new
-        den_scr[b:b + 1, :H] = den
+        acc_scr[pl.ds(rb, 1), :] = (acc_scr[pl.ds(rb, 1), :] * corr_lanes
+                                    + blk_mix)
+        m_scr[pl.ds(rb, 1), :H] = m_new
+        den_scr[pl.ds(rb, 1), :H] = den
 
-    # ---- ns == NS-1: finalize, proj (int4), MLP (int4) ----
-    @pl.when(ns == n_sblk - 1)
+    # ---- ns == NS-1 (last batch group): finalize, proj/MLP (int4) ----
+    fin = ((ns == n_sblk - 1) if n_bblk == 1
+           else ((ns == n_sblk - 1) & (nb == n_bblk - 1)))
+
+    @pl.when(fin)
     def _():
         h = h_scr[:]
         den_lanes_rows = []
@@ -1985,15 +1995,19 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             h_out_ref[:] = h.astype(h_out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
                          kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                         cache_len, n_head: int, block_s: int = 0
+                         cache_len, n_head: int, block_s: int = 0,
+                         batch_block: int = 0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """W4A8 fused decode step on the flat int8 cache.
 
     packed: output of :func:`pack_fused_oar_w4`; kv_k/kv_v: flat
-    [L, B, S, H*Dh] int8 (KV_INT8_SCALE grid)."""
+    [L, B, S, H*Dh] int8 (KV_INT8_SCALE grid).  batch_block as in
+    :func:`fused_decode_step_v5` (batch groups on an innermost grid
+    dim for large B)."""
     L = packed["wqp4"].shape[0]
     _, B, S, HD = kv_k.shape
     assert kv_k.dtype == jnp.int8 and kv_k.ndim == 4, \
@@ -2021,6 +2035,13 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
     cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
     nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
 
+    if batch_block and batch_block < B and B % batch_block == 0:
+        Bg, NB = batch_block, B // batch_block
+        grid = (L, NS, NB)
+    else:
+        Bg, NB = B, 1
+        grid = (L, NS)
+
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
                             lambda l, ns, *_: (l,) + (0,) * len(shape))
@@ -2032,18 +2053,25 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
                 jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
 
     def kv_spec():
+        if NB == 1:
+            return pl.BlockSpec(
+                (1, B, bs, HD),
+                lambda l, ns, nblk_ref, cl_ref: (
+                    l, 0,
+                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
         return pl.BlockSpec(
-            (1, B, bs, HD),
-            lambda l, ns, nblk_ref, cl_ref: (
-                l, 0, jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+            (1, Bg, bs, HD),
+            lambda l, ns, nb, nblk_ref, cl_ref: (
+                l, nb,
+                jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
 
     lag_pj = 1 if NS > 2 else 0
     lag_fc = 2 if NS > 2 else 0
     kernel = functools.partial(_kernel_w4, n_layers=L, n_sblk=NS, bs=bs,
-                               H=H, Dh=Dh)
+                               H=H, Dh=Dh, n_bblk=NB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(L, NS),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),        # x
             at_l((1, packed["vec"].shape[-1])),           # vec
@@ -2073,7 +2101,7 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
             jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=110 * 1024 * 1024),
     )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"],
       packed["wqp4"], packed["wfc4"], packed["wpj4"], packed["scales4"],
