@@ -21,6 +21,19 @@ def test_layer_norm_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
 
 
+def test_rms_norm_matches_torch():
+    """Llama-style RMSNorm vs a direct torch transcription of the
+    reference implementation (ref:module.py:40-81)."""
+    import torch
+    x = np.random.default_rng(0).normal(size=(2, 5, D)).astype(np.float32)
+    w = np.random.default_rng(1).normal(size=(D,)).astype(np.float32)
+    ours = nn.rms_norm({"w": jnp.asarray(w)}, jnp.asarray(x))
+    xt = torch.from_numpy(x)
+    theirs = (xt * torch.rsqrt(xt.pow(2).mean(-1, keepdim=True) + 1e-6)
+              ) * torch.from_numpy(w)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
 def test_gelu_matches_torch():
     import torch
     x = np.linspace(-3, 3, 64, dtype=np.float32)

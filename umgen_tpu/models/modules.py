@@ -158,6 +158,14 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (y * p["w"].astype(jnp.float32)).astype(x.dtype)
 
 
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Llama-style RMSNorm (ref:module.py:40-81 — defined upstream, selected
+    by get_norm only when norm_type='rms'; kept for config parity)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y.astype(x.dtype) * p["w"].astype(x.dtype)
+
+
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     # exact erf GELU (torch nn.GELU default)
     return jax.nn.gelu(x, approximate=False)
