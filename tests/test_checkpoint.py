@@ -105,6 +105,16 @@ def test_torch_import_mapping():
     np.testing.assert_allclose(params["be"],
                                sd[f"{tr}.be.weight"].numpy())
 
+    # n_step > 1 swaps the bbox TAR head for the widened multi-step one
+    # (ref:UMGen.py:221-226)
+    import dataclasses
+    sd2 = dict(sd)
+    del sd2[f"{tr}.head_tar_bbox3d.weight"]
+    sd2[f"{tr}.head_tar_n_step_bbox3d.weight"] = torch.randn(2 * 1028, d)
+    p2 = import_umgen(sd2, dataclasses.replace(cfg, n_step=2))
+    assert "head_tar_bbox3d" not in p2
+    assert p2["head_tar_n_step_bbox3d"]["w"].shape == (d, 2 * 1028)
+
     # imported params must drive the model forward
     model = UMGen(ModelConfig(dtype="float32", use_pallas_attention=False
                               ).scaled("debug"))

@@ -150,3 +150,22 @@ def test_oar_step_int8_cache_matches_bf16():
     got = np.asarray(k8r)[:, :, cl].astype(np.float32) / KV_INT8_SCALE
     want = np.asarray(kr.astype(jnp.float32))[:, :, cl]
     np.testing.assert_allclose(got, want, atol=0.1)
+
+
+def test_n_step_head_frame():
+    """n_step > 1 swaps in the widened multi-step bbox TAR head
+    (ref:UMGen.py:221-226); inference consumes the step-0 vocab slice
+    (ref:UMGen.py:1098-1101) and the frame still decodes a well-formed
+    token stream."""
+    cfg, model, params, ro = build(n_step=2)
+    assert "head_tar_n_step_bbox3d" in params
+    assert "head_tar_bbox3d" not in params
+    assert params["head_tar_n_step_bbox3d"]["w"].shape == (
+        cfg.n_embd, 2 * cfg.bbox3d_vocab_size)
+    inputs = inputs_for(model)
+    out = jax.jit(ro.frame_step)(params, inputs, jax.random.PRNGKey(3))
+    toks = np.asarray(out.tokens)
+    lo = model.layout
+    sl = lo.slices()
+    assert toks.shape == (1, 2207)
+    assert toks[0, sl["bbox3d"]].max() <= 1027

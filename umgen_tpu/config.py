@@ -133,6 +133,11 @@ class ModelConfig:
     only_ar: bool = False
     no_born: bool = False
     rule_constrain: bool = True
+    # multi-step TAR bbox prediction (ref:UMGen_config_evaluation.py:17,
+    # UMGen.py:221-226): n_step > 1 widens the bbox TAR head to
+    # n_step*vocab columns ("head_tar_n_step_bbox3d"); inference uses
+    # step-0 logits (ref:UMGen.py:1098-1101).  Checkpoints ship n_step=1.
+    n_step: int = 1
 
     # --- sampling (ref:UMGen_config_evaluation.py:86-92,442-449) ---
     sample_method: str = "topk"      # "topk" | "topp"

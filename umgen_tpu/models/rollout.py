@@ -549,10 +549,17 @@ class Rollout:
         # ref:UMGen.py:1215-1231); equivalently: input_prior[k] =
         # prior_seq[k] for k < seq_len.
         bseg = lo.segment("bbox3d")
-        tar_box_logits = nn.linear(
-            params["head_tar_bbox3d"],
-            jax.lax.slice_in_dim(prior_seq, bseg.start,
-                                 bseg.content_end, axis=1))  # [B, 660, 1028]
+        bbox_prior = jax.lax.slice_in_dim(prior_seq, bseg.start,
+                                          bseg.content_end, axis=1)
+        if cfg.n_step > 1:
+            # multi-step head: inference uses the step-0 vocab slice
+            # (ref:UMGen.py:1098-1101)
+            tar_box_logits = nn.linear(
+                params["head_tar_n_step_bbox3d"],
+                bbox_prior)[..., :cfg.bbox3d_vocab_size]
+        else:
+            tar_box_logits = nn.linear(
+                params["head_tar_bbox3d"], bbox_prior)  # [B, 660, 1028]
 
         # ---- step 3: OAR decode ----
         kv_k, kv_v = self.init_kv(B)

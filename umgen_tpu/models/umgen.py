@@ -164,6 +164,8 @@ class UMGen:
                                             False, dt),
             "head_tar_map": nn.init_linear(nk(), d, cfg.map_vocab_size,
                                            False, dt),
+            # n_step > 1 replaces this with the widened n-step head below
+            # (ref:UMGen.py:221-226)
             "head_tar_bbox3d": nn.init_linear(nk(), d, cfg.bbox3d_vocab_size,
                                               False, dt),
             "head_ar_aux": nn.init_linear(nk(), d, cfg.aux_vocab_size,
@@ -177,6 +179,12 @@ class UMGen:
             "head_ego": nn.init_linear(nk(), d, cfg.pose_vocab_size,
                                        False, dt),
         }
+        if cfg.n_step > 1:
+            # multi-step TAR bbox head: n_step vocab slices side by side
+            # (ref:UMGen.py:224-226); replaces head_tar_bbox3d
+            del params["head_tar_bbox3d"]
+            params["head_tar_n_step_bbox3d"] = nn.init_linear(
+                nk(), d, cfg.bbox3d_vocab_size * cfg.n_step, False, dt)
         if cfg.split_map_tar:
             params["map_tar"] = nn.init_stack(nk(), cfg.n_map_tar_layer,
                                               nn.init_block_tar, d, cfg.bias,

@@ -128,7 +128,15 @@ class UMGenTrainer:
             # its TAR output predicts frame t+1 content
             emb_t = tar_emb[seg.mod][:, :, 1:-1]              # slots 0..W-1
             target = batch[seg.mod][:, 1:]                    # frames 1..T-1
-            logits = nn.linear(params[head_tar[seg.mod]], emb_t)
+            if seg.mod == "bbox3d" and "head_tar_n_step_bbox3d" in params:
+                # multi-step head: supervise the step-0 slice (further
+                # steps need t+n labels; the public checkpoints are
+                # n_step=1, ref:UMGen.py:221-226)
+                logits = nn.linear(
+                    params["head_tar_n_step_bbox3d"],
+                    emb_t)[..., :model.config.bbox3d_vocab_size]
+            else:
+                logits = nn.linear(params[head_tar[seg.mod]], emb_t)
             tar_loss = tar_loss + _ce(logits, target)
             # separator (d-)loss on BOS/EOS positions (ref:UMGen.py:558-582)
             d_emb = tar_emb[seg.mod][:, :, (0, -1)]

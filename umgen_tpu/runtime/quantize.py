@@ -37,7 +37,7 @@ DECODE_KEYS = ("oar", "head_ar_map", "head_ar_img", "head_ar_bbox3d",
 ALL_STACK_KEYS = DECODE_KEYS + (
     "tar", "map_tar", "box_tar", "ego_tar", "ego_ca", "map_mlp_pre",
     "img_mlp_pre", "head_tar_map", "head_tar_img", "head_tar_bbox3d",
-    "head_tar_pose", "head_tar_aux", "head_ego")
+    "head_tar_n_step_bbox3d", "head_tar_pose", "head_tar_aux", "head_ego")
 
 
 def quantize_params_int8(params: Params,

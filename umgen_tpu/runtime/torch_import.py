@@ -138,13 +138,19 @@ def import_umgen(state_dict: Dict[str, Any], config) -> Params:
         "head_tar_aux": _linear(sd, f"{tr}.head_tar_aux"),
         "head_tar_pose": _linear(sd, f"{tr}.head_tar_pose"),
         "head_tar_map": _linear(sd, f"{tr}.head_tar_map"),
-        "head_tar_bbox3d": _linear(sd, f"{tr}.head_tar_bbox3d"),
         "head_ar_aux": _linear(sd, f"{tr}.head_ar_aux"),
         "head_ar_pose": _linear(sd, f"{tr}.head_ar_pose"),
         "head_ar_map": _linear(sd, f"{tr}.head_ar_map"),
         "head_ar_bbox3d": _linear(sd, f"{tr}.head_ar_bbox3d"),
         "head_ego": _linear(sd, f"{tr}.head_ego"),
     }
+    if getattr(config, "n_step", 1) > 1:
+        # widened multi-step bbox TAR head replaces head_tar_bbox3d
+        # (ref:UMGen.py:221-226)
+        params["head_tar_n_step_bbox3d"] = _linear(
+            sd, f"{tr}.head_tar_n_step_bbox3d")
+    else:
+        params["head_tar_bbox3d"] = _linear(sd, f"{tr}.head_tar_bbox3d")
     if config.split_map_tar:
         params["map_tar"] = _stack([_block_tar(sd, f"{tr}.map_tar.{i}")
                                     for i in range(config.n_map_tar_layer)])
