@@ -73,9 +73,25 @@ def make_scene(seq_len: int = 220, n_objects: int = 24, seed: int = 0,
             "categories": [str(c) for c in obj_cat[inside]],
         })
 
-    image_tokens = [rng.integers(0, img_vocab, size=(16, 32))
-                    for _ in range(seq_len)]
-    raster_tokens = rng.integers(0, map_vocab, size=(seq_len, 32, 32))
+    # map/image VQ tokens evolve slowly: each frame keeps ~95% of the
+    # previous frame's tokens and resamples the rest (real driving scenes
+    # are temporally coherent at the token level — a static-per-frame
+    # stream would make any temporal model, and speculative-decode
+    # acceptance, unlearnable on synthetic data)
+    img0 = rng.integers(0, img_vocab, size=(16, 32))
+    image_tokens = []
+    for _ in range(seq_len):
+        flip = rng.random(img0.shape) < 0.05
+        img0 = np.where(flip, rng.integers(0, img_vocab, size=img0.shape),
+                        img0)
+        image_tokens.append(img0.copy())
+    map0 = rng.integers(0, map_vocab, size=(32, 32))
+    raster_tokens = np.empty((seq_len, 32, 32), np.int64)
+    for t in range(seq_len):
+        flip = rng.random(map0.shape) < 0.05
+        map0 = np.where(flip, rng.integers(0, map_vocab, size=map0.shape),
+                        map0)
+        raster_tokens[t] = map0
 
     return {
         "tokens": {"CAM_F0": {

@@ -44,6 +44,10 @@ class Generator:
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = mesh
         self._step_cache: Dict[Any, Any] = {}
+        # cumulative speculative-decode telemetry across generated frames
+        # (meaningful when config.speculative_k > 0; see FrameOutputs)
+        self.spec_chunks = 0
+        self.spec_accepted = 0
 
     def _constrained(self, fn):
         """Wrap a (outputs, cache)-returning step so the TAR rings keep
@@ -169,6 +173,8 @@ class Generator:
                 res = fn(self.params, dev_inputs, step_rng)
 
             tokens = np.asarray(jax.device_get(res.tokens))
+            self.spec_chunks += int(res.spec_chunks)
+            self.spec_accepted += int(res.spec_accepted)
             sl = lo.slices()
             frame = {m: tokens[:, sl[m]] for m in mods}
 
@@ -266,6 +272,8 @@ class Generator:
                                      control_bbox=control_bbox)
 
             tokens = np.asarray(jax.device_get(res.tokens))
+            self.spec_chunks += int(res.spec_chunks)
+            self.spec_accepted += int(res.spec_accepted)
             frame = {m: tokens[:, sl[m]] for m in mods}
             # the generated frame becomes the next step's ingested raw frame
             newest = self._place_inputs(

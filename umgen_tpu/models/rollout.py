@@ -67,6 +67,12 @@ class OarState(NamedTuple):
 class FrameOutputs(NamedTuple):
     tokens: jnp.ndarray      # [B, seq_len] full sampled/forced stream
     pose_tokens: jnp.ndarray  # [B, 3] ego tokens used this frame
+    # speculative-decode telemetry (zeros when speculative_k == 0):
+    # verify steps executed and draft tokens accepted across the frame's
+    # speculatively-decoded segments.  acceptance/chunk = accepted/chunks;
+    # sequential decode would have cost (chunks + accepted) OAR steps.
+    spec_chunks: jnp.ndarray = np.int32(0)
+    spec_accepted: jnp.ndarray = np.int32(0)
 
 
 class Rollout:
@@ -602,6 +608,8 @@ class Rollout:
                                                             "greedy") else 0
         tar_head_for = {"map": "head_tar_map", "image": "head_tar_img"}
         sample_k_for = {"map": cfg.top_k_map, "image": cfg.top_k_image}
+        spec_chunks = jnp.int32(0)
+        spec_accepted = jnp.int32(0)
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
             kv_len = min(seg.end + (spec_k if seg.mod != "bbox3d" else 0),
@@ -620,12 +628,16 @@ class Rollout:
             elif spec_k > 0:
                 from umgen_tpu.models.speculative import (
                     decode_segment_speculative)
-                part, seg_tokens, _tel = decode_segment_speculative(
+                part, seg_tokens, tel = decode_segment_speculative(
                     self, params, seg, part, prior_seq,
                     head_ar=head_for[seg.mod],
                     head_tar=tar_head_for[seg.mod],
                     k=sample_k_for[seg.mod], temp=cfg.sfmx_temp,
                     K=spec_k, greedy=cfg.sample_method == "greedy")
+                spec_chunks = spec_chunks + jnp.asarray(tel.chunks,
+                                                        jnp.int32)
+                spec_accepted = spec_accepted + jnp.asarray(tel.accepted,
+                                                            jnp.int32)
             else:
                 part, seg_tokens = self._decode_plain_segment(
                     params, seg.mod, seg, part, prior_seq,
@@ -652,7 +664,9 @@ class Rollout:
                            ).astype(dt)
                 state = OarState(kv_k, kv_v, bos_emb, state.rng)
 
-        return FrameOutputs(tokens=tokens[:, 1:], pose_tokens=ego_tokens)
+        return FrameOutputs(tokens=tokens[:, 1:], pose_tokens=ego_tokens,
+                            spec_chunks=spec_chunks,
+                            spec_accepted=spec_accepted)
 
     # ------------------------------------------------------------------
     # temporal-cache fast path

@@ -239,6 +239,13 @@ def main(argv: Optional[list] = None) -> int:
     if runner.timings:
         fps = np.mean([t["frames_per_sec"] for t in runner.timings])
         print(f"mean throughput: {fps:.3f} frames/sec")
+    if cfg.speculative_k > 0 and gen.spec_chunks:
+        # sequential decode of the same tokens costs chunks+accepted steps
+        acc = gen.spec_accepted / gen.spec_chunks
+        speedup = (gen.spec_chunks + gen.spec_accepted) / gen.spec_chunks
+        print(f"speculative: {acc:.2f} drafts accepted/chunk "
+              f"(K={cfg.speculative_k}), {speedup:.2f}x fewer OAR steps "
+              "on speculative segments")
     ratio, scen = runner.box_overlap.average()
     print(f"collision rate: per-frame {ratio:.4f}, per-scenario {scen:.4f}")
     print("Sucess")   # the reference's success marker (ref:evaluate.py:221)
