@@ -74,6 +74,10 @@ def main():
                       tar_cache_window=int(window) if window else None,
                       speculative_k=int(os.environ.get(
                           "UMGEN_BENCH_SPEC_K", "0")),
+                      # batch-group size for the fused kernel's innermost
+                      # grid dim (needed to fit VMEM at B=8; 0 = whole batch)
+                      oar_batch_block=int(os.environ.get(
+                          "UMGEN_BENCH_BATCH_BLOCK", "0")),
                       fused_oar_kernel=fused).scaled(scale)
     model = UMGen(cfg)
     ro = Rollout(model)
@@ -170,6 +174,7 @@ def main():
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
                 f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"
+                f"{f', bb={cfg.oar_batch_block}' if cfg.oar_batch_block else ''}"
                 f"; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
                 f"measured)",
