@@ -126,11 +126,17 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5, block_s=bs)
                 shape = (L, B, S, H * Dh)      # 4-D lane-aligned cache
             elif v.startswith("v5bb"):         # batch-split grid, e.g. v5bb2
+                if not v[4:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected v5bbN)")
+                    continue
                 packed = dk.pack_fused_oar(params)
                 fn = functools.partial(dk.fused_decode_step_v5,
                                        batch_block=int(v[4:]))
                 shape = (L, B, S, H * Dh)
             elif v.startswith("w4"):           # W4A8; w4bbN = batch-split
+                if v.startswith("w4bb") and not v[4:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected w4bbN)")
+                    continue
                 packed = dk.pack_fused_oar_w4(make_params(L, d, 0))
                 bb = int(v[4:]) if v.startswith("w4bb") else 0
                 fn = functools.partial(dk.fused_decode_step_w4,

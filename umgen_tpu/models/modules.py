@@ -150,6 +150,21 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def slice_linear_out(p: Params, n: int) -> Params:
+    """First n output columns of a linear's params (raw or int8-quantized)
+    — lets callers that keep only a logit slice (e.g. the n_step bbox
+    head's step-0 vocab, ref:UMGen.py:1098-1101) shrink the matmul
+    instead of discarding computed columns."""
+    out = {}
+    for k in ("w", "wq"):
+        if k in p:
+            out[k] = p[k][..., :n]
+    for k in ("ws", "b"):
+        if k in p:
+            out[k] = p[k][..., :n]
+    return out
+
+
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -156,7 +156,10 @@ class Rollout:
                         fused = functools.partial(
                             fused, batch_block=cfg.oar_batch_block)
                 elif kv_k.ndim == 4 and cfg.oar_kernel_version == 7 \
-                        and B * n_head <= 128:   # flat cache -> batched v7
+                        and B * n_head <= 128 \
+                        and not cfg.oar_batch_block:  # flat cache -> v7
+                    # v7 has no batch-split grid; an explicit
+                    # oar_batch_block (the large-B VMEM knob) routes to v5
                     fused = dk.fused_decode_step_v7
                 elif kv_k.ndim == 4:             # flat cache -> v5
                     fused = dk.fused_decode_step_v5
@@ -559,10 +562,12 @@ class Rollout:
                                           bseg.content_end, axis=1)
         if cfg.n_step > 1:
             # multi-step head: inference uses the step-0 vocab slice
-            # (ref:UMGen.py:1098-1101)
+            # (ref:UMGen.py:1098-1101); slice the weight COLUMNS so the
+            # matmul only computes the slice it keeps
             tar_box_logits = nn.linear(
-                params["head_tar_n_step_bbox3d"],
-                bbox_prior)[..., :cfg.bbox3d_vocab_size]
+                nn.slice_linear_out(params["head_tar_n_step_bbox3d"],
+                                    cfg.bbox3d_vocab_size),
+                bbox_prior)
         else:
             tar_box_logits = nn.linear(
                 params["head_tar_bbox3d"], bbox_prior)  # [B, 660, 1028]

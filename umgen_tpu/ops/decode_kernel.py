@@ -1293,6 +1293,40 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             h_out_ref[:] = h.astype(h_out_ref.dtype)
 
 
+def _batch_split_grid(L, NS, B, bs, HD, batch_block):
+    """Grid + KV BlockSpec for the batch-split kernels (v5 / w4).
+
+    batch_block == 0 or == B → whole-batch 2-D grid; otherwise an
+    innermost batch-group dim of size B // batch_block.  Raises on a
+    non-divisor so a misconfigured knob can't silently run whole-batch
+    (the un-split path is exactly the large-B VMEM failure the knob
+    exists to avoid)."""
+    if batch_block and batch_block != B:
+        if batch_block > B or B % batch_block:
+            raise ValueError(
+                f"batch_block={batch_block} must divide batch {B}")
+        Bg, NB = batch_block, B // batch_block
+        grid = (L, NS, NB)
+
+        def kv_spec():
+            return pl.BlockSpec(
+                (1, Bg, bs, HD),
+                lambda l, ns, nb, nblk_ref, cl_ref: (
+                    l, nb,
+                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+    else:
+        Bg, NB = B, 1
+        grid = (L, NS)
+
+        def kv_spec():
+            return pl.BlockSpec(
+                (1, B, bs, HD),
+                lambda l, ns, nblk_ref, cl_ref: (
+                    l, 0,
+                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
+    return grid, Bg, NB, kv_spec
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
@@ -1355,12 +1389,7 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
     # the old v3 slowness was the 5-D cache relayout, not this map.
     nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
 
-    if batch_block and batch_block < B and B % batch_block == 0:
-        Bg, NB = batch_block, B // batch_block
-        grid = (L, NS, NB)
-    else:
-        Bg, NB = B, 1
-        grid = (L, NS)
+    grid, Bg, NB, kv_spec = _batch_split_grid(L, NS, B, bs, HD, batch_block)
 
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
@@ -1371,19 +1400,6 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
             (1,) + shape,
             lambda l, ns, *_, _lag=lag_ns: (
                 jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
-
-    def kv_spec():
-        if NB == 1:
-            return pl.BlockSpec(
-                (1, B, bs, HD),
-                lambda l, ns, nblk_ref, cl_ref: (
-                    l, 0,
-                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
-        return pl.BlockSpec(
-            (1, Bg, bs, HD),
-            lambda l, ns, nb, nblk_ref, cl_ref: (
-                l, nb,
-                jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
 
     def kvnew_spec():
         return pl.BlockSpec((1, B, 2 * HD),
@@ -2035,12 +2051,7 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
     cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
     nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
 
-    if batch_block and batch_block < B and B % batch_block == 0:
-        Bg, NB = batch_block, B // batch_block
-        grid = (L, NS, NB)
-    else:
-        Bg, NB = B, 1
-        grid = (L, NS)
+    grid, Bg, NB, kv_spec = _batch_split_grid(L, NS, B, bs, HD, batch_block)
 
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
@@ -2051,19 +2062,6 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
             (1,) + shape,
             lambda l, ns, *_, _lag=lag_ns: (
                 jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
-
-    def kv_spec():
-        if NB == 1:
-            return pl.BlockSpec(
-                (1, B, bs, HD),
-                lambda l, ns, nblk_ref, cl_ref: (
-                    l, 0,
-                    jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
-        return pl.BlockSpec(
-            (1, Bg, bs, HD),
-            lambda l, ns, nb, nblk_ref, cl_ref: (
-                l, nb,
-                jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
 
     lag_pj = 1 if NS > 2 else 0
     lag_fc = 2 if NS > 2 else 0

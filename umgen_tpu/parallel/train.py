@@ -131,10 +131,12 @@ class UMGenTrainer:
             if seg.mod == "bbox3d" and "head_tar_n_step_bbox3d" in params:
                 # multi-step head: supervise the step-0 slice (further
                 # steps need t+n labels; the public checkpoints are
-                # n_step=1, ref:UMGen.py:221-226)
+                # n_step=1, ref:UMGen.py:221-226).  Weight columns are
+                # sliced so only the kept slice is computed.
                 logits = nn.linear(
-                    params["head_tar_n_step_bbox3d"],
-                    emb_t)[..., :model.config.bbox3d_vocab_size]
+                    nn.slice_linear_out(params["head_tar_n_step_bbox3d"],
+                                        model.config.bbox3d_vocab_size),
+                    emb_t)
             else:
                 logits = nn.linear(params[head_tar[seg.mod]], emb_t)
             tar_loss = tar_loss + _ce(logits, target)
