@@ -133,6 +133,15 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5,
                                        batch_block=int(v[4:]))
                 shape = (L, B, S, H * Dh)
+            elif v.startswith("v5i4"):         # int4 KV; v5i4bbN splits
+                tail = v[6:] if v.startswith("v5i4bb") else ""
+                if v.startswith("v5i4bb") and not tail.isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected v5i4bbN)")
+                    continue
+                packed = dk.pack_fused_oar(params)
+                fn = functools.partial(dk.fused_decode_step_v5i4,
+                                       batch_block=int(tail) if tail else 0)
+                shape = "i4"                   # packed cache + scale planes
             elif v.startswith("w4"):           # W4A8; w4bbN = batch-split
                 if v.startswith("w4bb") and not v[4:].isdigit():
                     print(f"B={B} {v}: SKIPPED (expected w4bbN)")
@@ -144,29 +153,56 @@ def main():
                 shape = (L, B, S, H * Dh)
             else:
                 continue
-            if not (v.startswith(("v5flat", "v5bb", "w4"))
+            if not (v.startswith(("v5flat", "v5bb", "v5i4", "w4"))
                     or v in ("v5", "v6", "v7")):
                 shape = kv_shape
 
-            @functools.partial(jax.jit, donate_argnums=(2, 3))
-            def many(packed, x, kk, vv, fn=fn):
-                def body(c, _):
-                    x, kk, vv = c
-                    h, kk, vv = fn(packed, x, kk, vv, cl, n_head=H)
-                    return (h, kk, vv), ()
-
-                (h, kk, vv), _ = jax.lax.scan(body, (x, kk, vv), None,
-                                              length=args.steps)
-                return h, kk, vv
-
             try:
-                kk = jnp.zeros(shape, jnp.int8)
-                vv = jnp.zeros(shape, jnp.int8)
+                if shape == "i4":
+                    @functools.partial(jax.jit,
+                                       donate_argnums=(2, 3, 4, 5))
+                    def many4(packed, x, kk, vv, ks, vs, fn=fn):
+                        def body(c, _):
+                            x, kk, vv, ks, vs = c
+                            h, kk, vv, ks, vs = fn(packed, x, kk, vv, ks,
+                                                   vs, cl, n_head=H)
+                            return (h, kk, vv, ks, vs), ()
 
-                def rep():
-                    nonlocal kk, vv
-                    h, kk, vv = many(packed, x, kk, vv)
-                    return h
+                        c, _ = jax.lax.scan(body, (x, kk, vv, ks, vs),
+                                            None, length=args.steps)
+                        return c
+
+                    kk = jnp.zeros((L, B, S, H * Dh // 2), jnp.int8)
+                    vv = jnp.zeros((L, B, S, H * Dh // 2), jnp.int8)
+                    ks = jnp.ones((L, B, S, H), jnp.float32)
+                    vs = jnp.ones((L, B, S, H), jnp.float32)
+
+                    def rep():
+                        nonlocal kk, vv, ks, vs
+                        x2, kk, vv, ks, vs = many4(packed, x, kk, vv,
+                                                   ks, vs)
+                        return x2
+                else:
+                    @functools.partial(jax.jit, donate_argnums=(2, 3))
+                    def many(packed, x, kk, vv, fn=fn):
+                        def body(c, _):
+                            x, kk, vv = c
+                            h, kk, vv = fn(packed, x, kk, vv, cl,
+                                           n_head=H)
+                            return (h, kk, vv), ()
+
+                        (h, kk, vv), _ = jax.lax.scan(body, (x, kk, vv),
+                                                      None,
+                                                      length=args.steps)
+                        return h, kk, vv
+
+                    kk = jnp.zeros(shape, jnp.int8)
+                    vv = jnp.zeros(shape, jnp.int8)
+
+                    def rep():
+                        nonlocal kk, vv
+                        h, kk, vv = many(packed, x, kk, vv)
+                        return h
 
                 dt = timeit(rep, n=args.n) / args.steps
                 print(f"B={B} {v}: {dt*1e3:.3f} ms/step")

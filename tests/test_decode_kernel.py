@@ -380,3 +380,56 @@ def test_fused_v5_batch_block_matches_xla(cl, B, bb):
     krow_f = (np.asarray(kk_f.astype(jnp.float32))[:, :, cl]
               / KV_INT8_SCALE).reshape(krow_ref.shape)
     np.testing.assert_allclose(krow_ref, krow_f, atol=0.1)
+
+
+@tpu_only
+@pytest.mark.parametrize("cl,B,bb", [(100, 2, 0), (900, 2, 0), (907, 4, 2)])
+def test_fused_v5i4_matches_xla(cl, B, bb):
+    """int4-KV kernel (per-(row, head) absmax scales folded into the
+    flash update) vs the XLA step on a bf16 cache: int4 storage adds
+    real quantization error — assert the hidden state stays within the
+    serving envelope at 4 layers."""
+    from umgen_tpu.ops.decode_kernel import (fused_decode_step_v5i4,
+                                             pack_fused_oar,
+                                             quantize_kv_int4)
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=4)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 4,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = pack_fused_oar(pq["oar"])
+    S = 1104
+    HD = cfg.n_head * cfg.head_dim
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (4, B, S, cfg.n_head,
+                                            cfg.head_dim)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_bf, vv_bf, jnp.int32(cl))
+    kp, ks = quantize_kv_int4(kv_bf.reshape(4, B, S, HD), cfg.n_head)
+    vp, vs = quantize_kv_int4(vv_bf.reshape(4, B, S, HD), cfg.n_head)
+    h_f, kk4, _, ks2, _ = fused_decode_step_v5i4(
+        packed, x, kp, vp, ks, vs, jnp.int32(cl), n_head=cfg.n_head,
+        batch_block=bb)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    a = np.asarray(h_ref, np.float32)
+    b = np.asarray(h_f, np.float32)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.15, rel
+    # appended row at cl dequantizes back to the reference K row
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl]  # [4,B,H,Dh]
+    p4 = np.asarray(kk4)[:, :, cl].astype(np.int32)
+    lo = (p4 << 28) >> 28
+    hi = p4 >> 4
+    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    s = np.asarray(ks2)[:, :, cl]                                # [4,B,H]
+    deq = (q.reshape(4, B, cfg.n_head, cfg.head_dim)
+           * (s[..., None] / 7.0))
+    np.testing.assert_allclose(krow_ref, deq.reshape(krow_ref.shape),
+                               atol=0.2)

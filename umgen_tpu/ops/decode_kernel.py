@@ -1294,13 +1294,15 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
 
 
 def _batch_split_grid(L, NS, B, bs, HD, batch_block):
-    """Grid + KV BlockSpec for the batch-split kernels (v5 / w4).
+    """Grid + KV BlockSpec factory for the batch-split kernels (v5 / w4 /
+    v5i4).
 
     batch_block == 0 or == B → whole-batch 2-D grid; otherwise an
     innermost batch-group dim of size B // batch_block.  Raises on a
     non-divisor so a misconfigured knob can't silently run whole-batch
     (the un-split path is exactly the large-B VMEM failure the knob
-    exists to avoid)."""
+    exists to avoid).  The returned kv_spec takes the block's trailing
+    width (defaults to HD; packed caches pass HD//2, scale planes H)."""
     if batch_block and batch_block != B:
         if batch_block > B or B % batch_block:
             raise ValueError(
@@ -1308,9 +1310,9 @@ def _batch_split_grid(L, NS, B, bs, HD, batch_block):
         Bg, NB = batch_block, B // batch_block
         grid = (L, NS, NB)
 
-        def kv_spec():
+        def kv_spec(width=HD):
             return pl.BlockSpec(
-                (1, Bg, bs, HD),
+                (1, Bg, bs, width),
                 lambda l, ns, nb, nblk_ref, cl_ref: (
                     l, nb,
                     jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
@@ -1318,9 +1320,9 @@ def _batch_split_grid(L, NS, B, bs, HD, batch_block):
         Bg, NB = B, 1
         grid = (L, NS)
 
-        def kv_spec():
+        def kv_spec(width=HD):
             return pl.BlockSpec(
-                (1, B, bs, HD),
+                (1, B, bs, width),
                 lambda l, ns, nblk_ref, cl_ref: (
                     l, 0,
                     jnp.minimum(ns, jnp.maximum(nblk_ref[0] - 1, 0)), 0))
@@ -2393,3 +2395,297 @@ def fused_decode_step_v7(packed: Params, x: jnp.ndarray,
     kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
                                         (0, 0, cl0, 0))
     return h_out[:, None, :], kv_k, kv_v
+
+
+# ===========================================================================
+# v5i4: v5 with an int4 (nibble-packed) KV cache + per-(row, head) scales
+# ===========================================================================
+# At B=4, S=2207 the v5 step is DMA-bound at ~630 GB/s streaming 255 MB of
+# int8 weights + 488 MB of int8 KV — the CACHE, not the weights, is the
+# larger stream.  v5i4 stores K/V as int4 nibbles (halves layout: packed
+# column j holds hd=j in the low nibble and hd=j+HD/2 in the high nibble)
+# with one absmax scale per (row, head), halving KV bytes.  The head-pool
+# trick makes the per-(row, head) scales exact:
+#
+#   * logits[s,h] contracts only hd ∈ head h (qp's pool structure), so the
+#     int dot factors as raw[s,h] * ks[s,h] — one elementwise [bs, H]
+#     multiply after two [bs, HD/2] @ [HD/2, H] dots (lo/hi halves).
+#   * the AV dot's surviving entries pair h == head(hd), so V's scale
+#     folds into the softmax weights: p'[s,h] = p[s,h] * vs[s,h] before
+#     the two [bs, HD/2] value dots.
+#
+# Appended rows are quantized/packed OUTSIDE the kernel (q = round(7k/ks),
+# clip ±7) and spliced with dynamic_update_slice like v5's int8 rows.
+# Scale planes are [L, B, S, H] f32 — 2% of the packed payload.
+
+def _kernel_v5i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+                 wpj_ref, kvk_ref, kvv_ref, ksc_ref, vsc_ref,
+                 pool_ref, poolt_ref, h_out_ref, kvnew_ref,
+                 h_scr, qp_scr, m_scr, den_scr, acc_scr,
+                 *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+                 n_bblk: int = 1, eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    nb = pl.program_id(2) if n_bblk > 1 else None
+    B, d = x_ref.shape
+    bg = B // n_bblk
+    HD = H * Dh
+    HDh = HD // 2
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot(v, w_blk, ws, b=None):
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
+        if b is not None:
+            y = y + b[None, :].astype(jnp.float32)
+        return y
+
+    pool = pool_ref[:]                 # [HD, H] f32
+    poolt = poolt_ref[:]               # [H, HD] f32
+
+    # ---- ns == 0 (first batch group): whole-batch init (as v5) ----
+    init = (ns == 0) if n_bblk == 1 else ((ns == 0) & (nb == 0))
+
+    @pl.when(init)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                   vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        for b in range(B):
+            qp = q[b][:, None] * pool                       # [HD, H] f32
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
+                jnp.round(qp / sq), -127, 127)
+            den_scr[b:b + 1, 120:121] = sq[None, None]
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [B, H]
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- every S-block: int4 MXU flash update ----
+    base = ns * bs
+    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+    valid = spos < cl
+    for bb in range(bg):
+        rb = bb if n_bblk == 1 else nb * bg + bb
+        klo, khi = _unpack_nibbles(kvk_ref[0, bb])       # [bs, HD/2] i8
+        vlo, vhi = _unpack_nibbles(kvv_ref[0, bb])
+        ks = ksc_ref[0, bb]                              # [bs, H] f32
+        vs = vsc_ref[0, bb]
+        qp_lo = qp_scr[pl.ds(rb * HD, HDh), :H].astype(jnp.int8)
+        qp_hi = qp_scr[pl.ds(rb * HD + HDh, HDh), :H].astype(jnp.int8)
+        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
+        li = (jax.lax.dot_general(klo, qp_lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+              + jax.lax.dot_general(khi, qp_hi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32))
+        logits = li.astype(jnp.float32) * ks * (sq * (scale / 7.0))
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[pl.ds(rb, 1), :H]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                           keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)                      # [bs, H] f32
+        den = den_scr[pl.ds(rb, 1), :H] * corr + jnp.sum(p, axis=0,
+                                                         keepdims=True)
+        pv = (p * vs * (1.0 / 7.0)).astype(jnp.bfloat16)  # V scales folded
+        part_lo = jax.lax.dot_general(
+            pv, vlo.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H, HD/2]
+        part_hi = jax.lax.dot_general(
+            pv, vhi.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blk_mix = jnp.concatenate(
+            [jnp.sum(part_lo * poolt[:, :HDh], axis=0, keepdims=True),
+             jnp.sum(part_hi * poolt[:, HDh:], axis=0, keepdims=True)],
+            axis=1)                                      # [1, HD]
+        corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                             keepdims=True)              # [1, HD]
+        acc_scr[pl.ds(rb, 1), :] = (acc_scr[pl.ds(rb, 1), :] * corr_lanes
+                                    + blk_mix)
+        m_scr[pl.ds(rb, 1), :H] = m_new
+        den_scr[pl.ds(rb, 1), :H] = den
+
+    # ---- ns == NS-1 (last batch group): finalize, proj, MLP (as v5) ----
+    fin = ((ns == n_sblk - 1) if n_bblk == 1
+           else ((ns == n_sblk - 1) & (nb == n_bblk - 1)))
+
+    @pl.when(fin)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)  # [B, HD]
+        y = acc_scr[:] / den_lanes
+        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
+                 vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = _gelu_exact(hid)
+        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+def quantize_kv_int4(rows: jnp.ndarray, n_head: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., HD] f32/bf16 rows → (packed [..., HD/2] int8, scales [..., H]).
+
+    Per-(row, head) absmax grid: q = clip(round(7 x / s), ±7), dequant
+    x ≈ q s / 7.  Halves nibble layout (low nibble hd=j, high hd=j+HD/2)
+    so the kernel reconstructs with two lane-contiguous slices, no
+    interleave."""
+    *lead, HD = rows.shape
+    H = n_head
+    Dh = HD // H
+    r = rows.astype(jnp.float32).reshape(*lead, H, Dh)
+    s = jnp.max(jnp.abs(r), axis=-1) + 1e-12               # [..., H]
+    q = jnp.clip(jnp.round(r * (7.0 / s[..., None])), -7, 7)
+    q = q.reshape(*lead, HD).astype(jnp.int32)
+    lo = q[..., :HD // 2]
+    hi = q[..., HD // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return packed, s
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
+def fused_decode_step_v5i4(packed: Params, x: jnp.ndarray,
+                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                           k_scale: jnp.ndarray, v_scale: jnp.ndarray,
+                           cache_len, n_head: int, block_s: int = 0,
+                           batch_block: int = 0):
+    """v5 decode step on the int4 packed cache.
+
+    kv_k/kv_v: [L, B, S, H*Dh/2] int8 nibble pairs; k_scale/v_scale:
+    [L, B, S, H] f32 absmax planes (see quantize_kv_int4).  Same packed
+    weights (pack_fused_oar), batch_block, and caller-side cache slicing
+    contract as fused_decode_step_v5.  Returns (h [B,1,D], kv_k, kv_v,
+    k_scale, v_scale) with the new row appended at cache_len."""
+    L, B, S, HDp = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v5i4 requires packed int4 storage"
+    H = n_head
+    HD = 2 * HDp
+    Dh = HD // H
+    d = x.shape[-1]
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+    wqp, wfc, wpj = packed["wqp"], packed["wfc"], packed["wpj"]
+
+    grid, Bg, NB, kv_spec = _batch_split_grid(L, NS, B, bs, HD, batch_block)
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_v5i4, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh, n_bblk=NB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d, 4 * d)),                             # wqp
+            lagged((d, 4 * d), lag_fc),                   # wfc
+            lagged((4 * d, d), lag_pj),                   # wpj
+            kv_spec(HD // 2), kv_spec(HD // 2),           # packed K / V
+            kv_spec(H), kv_spec(H),                       # scale planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
+                        pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
+                        pltpu.VMEM((B, 128), jnp.float32),       # m
+                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
+                        pltpu.VMEM((B, HD), jnp.float32)],       # acc
+    )
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"], wqp, wfc,
+      wpj, kv_k, kv_v, k_scale, v_scale, pool, poolt)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, HD)
+    kp, ks = quantize_kv_int4(k_new, H)
+    vp, vs = quantize_kv_int4(v_new, H)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, kp, (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, vp, (0, 0, cl0, 0))
+    k_scale = jax.lax.dynamic_update_slice(
+        k_scale, ks.astype(k_scale.dtype), (0, 0, cl0, 0))
+    v_scale = jax.lax.dynamic_update_slice(
+        v_scale, vs.astype(v_scale.dtype), (0, 0, cl0, 0))
+    return h_out[:, None, :], kv_k, kv_v, k_scale, v_scale
