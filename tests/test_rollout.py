@@ -169,3 +169,41 @@ def test_n_step_head_frame():
     sl = lo.slices()
     assert toks.shape == (1, 2207)
     assert toks[0, sl["bbox3d"]].max() <= 1027
+
+
+def test_int4_oar_cache_frame():
+    """oar_cache_dtype="int4" (nibble-packed rows + per-(row, head)
+    scales): the XLA dequant path decodes a well-formed frame, and a
+    multi-row oar_step push matches the bf16 cache path within int4
+    quantization tolerance."""
+    import jax.numpy as jnp
+    from umgen_tpu.models.rollout import PackedKV
+
+    cfg, model, params, ro = build(oar_cache_dtype="int4")
+    kv_k, kv_v = ro.init_kv(1)
+    assert isinstance(kv_k, PackedKV)
+    assert kv_k.packed.shape[-1] == cfg.n_head * cfg.head_dim // 2
+    inputs = inputs_for(model)
+    out = jax.jit(ro.frame_step)(params, inputs, jax.random.PRNGKey(5))
+    toks = np.asarray(out.tokens)
+    lo = model.layout
+    assert toks.shape == (1, 2207)
+    for seg in lo.segments:
+        assert toks[0, seg.start - 1] == seg.bos, seg.mod
+        assert toks[0, seg.end - 1] == seg.eos, seg.mod
+
+    # multi-row push parity vs the bf16 dense cache
+    cfg2, model2, params2, ro2 = build()       # bfloat16 cache, same seed
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, cfg.n_embd)), jnp.float32)
+    prefix = jnp.asarray(rng.normal(0, 0.5, (1, 6, cfg.n_embd)),
+                         jnp.float32)
+    kd_k, kd_v = ro2.init_kv(1)
+    h0_d, kd_k, kd_v = ro2.oar_step(params2, prefix, kd_k, kd_v, 0)
+    h_d, _, _ = ro2.oar_step(params2, x, kd_k, kd_v, 6)
+    k4_k, k4_v = ro.init_kv(1)
+    h0_q, k4_k, k4_v = ro.oar_step(params, prefix, k4_k, k4_v, 0)
+    h_q, _, _ = ro.oar_step(params, x, k4_k, k4_v, 6)
+    a = np.asarray(h_d, np.float32)
+    b = np.asarray(h_q, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.12

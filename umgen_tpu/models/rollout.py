@@ -56,9 +56,38 @@ def _kv_load(c: "jnp.ndarray", dtype) -> "jnp.ndarray":
     return c.astype(dtype)
 
 
+class PackedKV(NamedTuple):
+    """int4 OAR cache half: nibble-packed rows + per-(row, head) scales.
+
+    packed [L, B, S, H*Dh/2] int8 (halves layout, see
+    ops.decode_kernel.quantize_kv_int4), scale [L, B, S, H] f32.  Flows
+    through OarState / lax.scan carries as an ordinary pytree; cache-
+    shape code goes through _kv_rows/_sliced which special-case it."""
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def _kv_rows(kv) -> int:
+    """Cache length (S axis) for dense or packed storage."""
+    return (kv.packed if isinstance(kv, PackedKV) else kv).shape[2]
+
+
+def _kv_load_int4(packed: "jnp.ndarray", scale: "jnp.ndarray", n_head: int,
+                  dtype) -> "jnp.ndarray":
+    """[B, S, HD/2] nibbles + [B, S, H] scales → [B, S, H, Dh] dequant."""
+    B, S, HDp = packed.shape
+    w = packed.astype(jnp.int32)
+    lo = ((w << 28) >> 28).astype(jnp.float32)
+    hi = (w >> 4).astype(jnp.float32)
+    full = jnp.concatenate([lo, hi], axis=-1)            # [B, S, HD]
+    full = full.reshape(B, S, n_head, (2 * HDp) // n_head)
+    return (full * (scale[..., None].astype(jnp.float32) / 7.0)
+            ).astype(dtype)
+
+
 class OarState(NamedTuple):
     """Carried state of the OAR decode within one frame."""
-    kv_k: jnp.ndarray        # [L, B, S_max, H, Dh]
+    kv_k: jnp.ndarray        # [L, B, S_max, H, Dh] (or PackedKV)
     kv_v: jnp.ndarray
     prev_emb: jnp.ndarray    # [B, 1, D] input embedding for the next step
     rng: jax.Array
@@ -115,6 +144,17 @@ class Rollout:
         # +K slack rows: speculative verify chunks may push up to K-1
         # stale entries past a segment's end (never read, then overwritten)
         slack = cfg.speculative_k if cfg.speculative_k > 0 else 0
+        if cfg.oar_cache_dtype == "int4":
+            # nibble-packed flat storage + per-(row, head) scale planes —
+            # halves the dominant KV stream of long-prefix decode steps
+            # (ops.decode_kernel v5i4 notes)
+            L = cfg.n_oar_layer
+            S = self.layout.input_len + slack
+            HD = cfg.n_head * cfg.head_dim
+            return (PackedKV(jnp.zeros((L, B, S, HD // 2), jnp.int8),
+                             jnp.zeros((L, B, S, cfg.n_head), jnp.float32)),
+                    PackedKV(jnp.zeros((L, B, S, HD // 2), jnp.int8),
+                             jnp.zeros((L, B, S, cfg.n_head), jnp.float32)))
         dt = jnp.dtype(cfg.oar_cache_dtype)
         if cfg.fused_oar_kernel and dt == jnp.int8:
             # flat [L, B, S, H*Dh] storage for the v5 kernel: a 5-D cache
@@ -145,6 +185,8 @@ class Rollout:
         cfg = self.config
         n_head = cfg.n_head
         B, Q, D = x.shape
+        if isinstance(kv_k, PackedKV):
+            return self._oar_step_int4(params, x, kv_k, kv_v, cache_len)
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
             # packed-block kernels: v4/v3 (multi-stream, MXU-only
             # attention) on int8 caches; v2 (burst-fetch) otherwise
@@ -244,6 +286,93 @@ class Rollout:
                                             (0, 0, cache_len) + zeros)
         return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
 
+    def _oar_step_int4(self, params: Params, x: jnp.ndarray,
+                       kv_k: PackedKV, kv_v: PackedKV, cache_len):
+        """oar_step on the nibble-packed int4 cache (oar_cache_dtype
+        "int4").  Q == 1 decode rides the v5i4 fused kernel; the few
+        multi-row pushes per frame (prefill, segment bridges, speculative
+        verify chunks) dequantize the prefix per layer in the XLA body —
+        same attention math as the dense path, rows re-quantized per
+        (row, head) on writeback."""
+        from umgen_tpu.ops.decode_kernel import (fused_decode_step_v5i4,
+                                                 quantize_kv_int4)
+        cfg = self.config
+        n_head = cfg.n_head
+        B, Q, D = x.shape
+        if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
+            fused = fused_decode_step_v5i4
+            if cfg.oar_batch_block:
+                fused = functools.partial(fused,
+                                          batch_block=cfg.oar_batch_block)
+            h, kp, vp, ks, vs = fused(params["oar_packed"], x,
+                                      kv_k.packed, kv_v.packed,
+                                      kv_k.scale, kv_v.scale, cache_len,
+                                      n_head=n_head)
+            return (nn.layer_norm(params["ln_oar"], h),
+                    PackedKV(kp, ks), PackedKV(vp, vs))
+
+        Dh = cfg.head_dim
+        scale = 1.0 / np.sqrt(Dh)
+        S_max = kv_k.packed.shape[2]
+        kpos = jnp.arange(S_max)[None, None, None, :]
+        prefix_valid = kpos < cache_len                  # [1,1,1,S]
+        self_mask = (jnp.arange(Q)[None, None, :, None]
+                     >= jnp.arange(Q)[None, None, None, :])
+
+        def body(h, layer):
+            p, ckp, cks, cvp, cvs = layer
+            ck = _kv_load_int4(ckp, cks, n_head, h.dtype)   # [B,S,H,Dh]
+            cv = _kv_load_int4(cvp, cvs, n_head, h.dtype)
+            a = nn.layer_norm(p["ln1"], h)
+            qkv = nn.linear(p["attn"]["qkv"], a)
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, Q, n_head, Dh)
+            k_new = k_new.reshape(B, Q, n_head, Dh)
+            v_new = v_new.reshape(B, Q, n_head, Dh)
+
+            lp = jnp.einsum("bqhd,bkhd->bhqk", q, ck,
+                            preferred_element_type=jnp.float32) * scale
+            lp = jnp.where(prefix_valid, lp, -jnp.inf)
+            ls = jnp.einsum("bqhd,bkhd->bhqk", q, k_new,
+                            preferred_element_type=jnp.float32) * scale
+            ls = jnp.where(self_mask, ls, -jnp.inf)
+            m = jnp.maximum(jnp.max(lp, -1, keepdims=True),
+                            jnp.max(ls, -1, keepdims=True))
+            ep = jnp.exp(lp - m)
+            es = jnp.exp(ls - m)
+            denom = (jnp.sum(ep, -1, keepdims=True)
+                     + jnp.sum(es, -1, keepdims=True))
+            wp = (ep / denom).astype(q.dtype)
+            ws = (es / denom).astype(q.dtype)
+            y = (jnp.einsum("bhqk,bkhd->bqhd", wp, cv)
+                 + jnp.einsum("bhqk,bkhd->bqhd", ws, v_new))
+            h = h + nn.linear(p["attn"]["proj"], y.reshape(B, Q, D))
+            h = h + nn.mlp(p["mlp"], nn.layer_norm(p["ln2"], h))
+            HD = n_head * Dh
+            kp_new, ks_new = quantize_kv_int4(
+                k_new.reshape(B, Q, HD), n_head)
+            vp_new, vs_new = quantize_kv_int4(
+                v_new.reshape(B, Q, HD), n_head)
+            return h, (kp_new, ks_new, vp_new, vs_new)
+
+        unroll = cfg.oar_layer_unroll or cfg.n_oar_layer
+        h, (kp, ks, vp, vs) = jax.lax.scan(
+            body, x, (params["oar"], kv_k.packed, kv_k.scale,
+                      kv_v.packed, kv_v.scale), unroll=unroll)
+        kv_k = PackedKV(
+            jax.lax.dynamic_update_slice(kv_k.packed, kp,
+                                         (0, 0, cache_len, 0)),
+            jax.lax.dynamic_update_slice(kv_k.scale,
+                                         ks.astype(kv_k.scale.dtype),
+                                         (0, 0, cache_len, 0)))
+        kv_v = PackedKV(
+            jax.lax.dynamic_update_slice(kv_v.packed, vp,
+                                         (0, 0, cache_len, 0)),
+            jax.lax.dynamic_update_slice(kv_v.scale,
+                                         vs.astype(kv_v.scale.dtype),
+                                         (0, 0, cache_len, 0)))
+        return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
+
     # token → next-step input embedding, per modality (no positional
     # embeddings in the OAR stream, ref:UMGen.py:1053-1137)
     def _embed_token(self, params: Params, mod: str,
@@ -273,14 +402,30 @@ class Rollout:
     # nearly in half
     # ------------------------------------------------------------------
     def _sliced(self, state: OarState, kv_len: int) -> OarState:
-        return OarState(state.kv_k[:, :, :kv_len], state.kv_v[:, :, :kv_len],
+        def cut(kv):
+            if isinstance(kv, PackedKV):
+                return PackedKV(kv.packed[:, :, :kv_len],
+                                kv.scale[:, :, :kv_len])
+            return kv[:, :, :kv_len]
+
+        return OarState(cut(state.kv_k), cut(state.kv_v),
                         state.prev_emb, state.rng)
 
     def _unsliced(self, full: OarState, part: OarState) -> OarState:
-        zeros = (0,) * full.kv_k.ndim
-        kv_k = jax.lax.dynamic_update_slice(full.kv_k, part.kv_k, zeros)
-        kv_v = jax.lax.dynamic_update_slice(full.kv_v, part.kv_v, zeros)
-        return OarState(kv_k, kv_v, part.prev_emb, part.rng)
+        def put(whole, piece):
+            if isinstance(whole, PackedKV):
+                return PackedKV(
+                    jax.lax.dynamic_update_slice(
+                        whole.packed, piece.packed,
+                        (0,) * whole.packed.ndim),
+                    jax.lax.dynamic_update_slice(
+                        whole.scale, piece.scale, (0,) * whole.scale.ndim))
+            return jax.lax.dynamic_update_slice(whole, piece,
+                                                (0,) * whole.ndim)
+
+        return OarState(put(full.kv_k, part.kv_k),
+                        put(full.kv_v, part.kv_v),
+                        part.prev_emb, part.rng)
 
     # ------------------------------------------------------------------
     # plain segment scan (map / image)
@@ -618,7 +763,7 @@ class Rollout:
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
             kv_len = min(seg.end + (spec_k if seg.mod != "bbox3d" else 0),
-                         state.kv_k.shape[2])
+                         _kv_rows(state.kv_k))
             part = self._sliced(state, kv_len)
             if seg.mod == "bbox3d":
                 # NB the merge rule reads the control-OVERWRITTEN previous

@@ -103,9 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(args):
     """argparse namespace → scaled ModelConfig (split out for unit tests).
 
-    The OAR cache supports bf16/fp8/int8; "int4" is a TAR-ring-only format
-    (nibble-packed with scale planes), so kv_dtype=int4 falls the OAR cache
-    back to int8 unless --oar_kv_dtype overrides it."""
+    The OAR cache supports bf16/fp8/int8/int4 (int4 = nibble-packed rows
+    with per-(row, head) scales, served by the v5i4 fused kernel).
+    kv_dtype=int4 applies to the TAR rings and falls the OAR cache back to
+    int8 — the proven serving default — unless --oar_kv_dtype int4 opts
+    the OAR cache in too."""
     from umgen_tpu.config import ModelConfig
 
     return ModelConfig(task=args.pred_task,
