@@ -13,8 +13,8 @@ from umgen_tpu.runtime.quantize import quantize_params_int8
 
 tpu_only = pytest.mark.skipif(
     jax.devices()[0].platform != "tpu",
-    reason="Pallas TPU kernel (no interpret-mode coverage for "
-           "PrefetchScalarGridSpec)")
+    reason="real-Mosaic Pallas kernel test (logic is also covered on CPU "
+           "by the interpret-mode tests below)")
 
 
 @tpu_only
@@ -433,3 +433,104 @@ def test_fused_v5i4_matches_xla(cl, B, bb):
            * (s[..., None] / 7.0))
     np.testing.assert_allclose(krow_ref, deq.reshape(krow_ref.shape),
                                atol=0.2)
+
+
+@pytest.fixture()
+def interpret_kernels(monkeypatch):
+    """Run the module's pallas_calls in interpret mode (CPU-runnable).
+
+    jax 0.9 interprets PrefetchScalarGridSpec correctly, so the fused
+    kernels' logic — including the batch-split grid's dynamic scratch
+    rows — gets CI coverage without a TPU; the @tpu_only tests remain
+    the authority on Mosaic lowering and performance."""
+    import functools as ft
+    from jax.experimental import pallas as pl
+    from umgen_tpu.ops import decode_kernel as dk
+    monkeypatch.setattr(dk.pl, "pallas_call",
+                        ft.partial(pl.pallas_call, interpret=True))
+
+
+def test_v5_and_v5i4_interpret_match_xla(interpret_kernels):
+    """v5 (int8 cache) and v5i4 (int4 cache), whole-batch and batch-split
+    grids, vs the XLA oar_step — interpret mode on CPU."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = dk.pack_fused_oar(pq["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+    cl = jnp.int32(300)
+
+    h_ref, _, _ = ro.oar_step(pq, x, kv_bf, vv_bf, cl)
+    a = np.asarray(h_ref, np.float32)
+
+    kv8 = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    vv8 = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    for bb in (0, 1):
+        h_f, _, _ = dk.fused_decode_step_v5(packed, x, kv8, vv8, cl,
+                                            n_head=H, batch_block=bb)
+        h_f = nn.layer_norm(pq["ln_oar"], h_f)
+        b = np.asarray(h_f, np.float32)
+        assert np.abs(a - b).max() / np.abs(a).max() < 0.05, bb
+
+    kp, ks = dk.quantize_kv_int4(kv_bf.reshape(2, B, S, HD), H)
+    vp, vs = dk.quantize_kv_int4(vv_bf.reshape(2, B, S, HD), H)
+    for bb in (0, 1):
+        h_f, _, _, _, _ = dk.fused_decode_step_v5i4(
+            packed, x, kp, vp, ks, vs, cl, n_head=H, batch_block=bb)
+        h_f = nn.layer_norm(pq["ln_oar"], h_f)
+        b = np.asarray(h_f, np.float32)
+        assert np.abs(a - b).max() / np.abs(a).max() < 0.06, bb
+
+
+def test_w4_interpret_matches_xla(interpret_kernels):
+    """W4A8 kernel (int4 group-128 weights), whole-batch and batch-split,
+    vs the un-quantized XLA step — interpret mode on CPU."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    packed = dk.pack_fused_oar_w4(params["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+    cl = jnp.int32(300)
+
+    h_ref, _, _ = ro.oar_step(params, x, kv_bf, vv_bf, cl)
+    a = np.asarray(h_ref, np.float32)
+    kv8 = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    vv8 = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    for bb in (0, 1):
+        h_f, _, _ = dk.fused_decode_step_w4(packed, x, kv8, vv8, cl,
+                                            n_head=H, batch_block=bb)
+        h_f = nn.layer_norm(params["ln_oar"], h_f)
+        b = np.asarray(h_f, np.float32)
+        # int4 group weights add real error (documented envelope)
+        assert np.abs(a - b).max() / np.abs(a).max() < 0.12, bb
