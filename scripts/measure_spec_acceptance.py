@@ -1,0 +1,85 @@
+"""Measure speculative-decode acceptance on a trained checkpoint.
+
+Roadmap item: the TAR prior is a free position-wise draft model for the
+map/image segments; throughput scales with the acceptance rate, which is
+meaningless on random weights.  This script loads a checkpoint produced by
+``umgen_tpu.tools.train``, rolls out frames with ``speculative_k`` on, and
+reports the telemetry the Generator accumulates (FrameOutputs →
+spec_chunks/spec_accepted).
+
+    python scripts/measure_spec_acceptance.py \
+        --ckpt /tmp/spec_train_ckpt/step_0000200 --scale tiny \
+        --frames 3 --k 8 --sample topk
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--scale", default="tiny")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--cond", type=int, default=4,
+                    help="conditioning frames from the synthetic scene")
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--sample", default="topk", choices=("topk", "greedy"))
+    ap.add_argument("--data_root", default=None,
+                    help="scene pkls (default: the training synthetic dir "
+                         "next to the checkpoint)")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from umgen_tpu.config import DataConfig, ModelConfig
+    from umgen_tpu.data.dataset import NuPlanTokenDataset
+    from umgen_tpu.models.generate import Generator
+    from umgen_tpu.models.umgen import UMGen
+    from umgen_tpu.parallel.train import UMGenTrainer
+    from umgen_tpu.runtime import checkpoint as ckpt
+
+    cfg = ModelConfig(sample_method=args.sample, speculative_k=args.k,
+                      use_pallas_attention=False,
+                      ).scaled(args.scale)
+    model = UMGen(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # restore params from the train state (template-shaped)
+    trainer = UMGenTrainer(model)
+    state = trainer.init_state(params)
+    state = ckpt.load_train_state(args.ckpt, state)
+    print(f"loaded step {int(state.step)} from {args.ckpt}")
+    restored = dict(state.params)
+    if "buffers" not in restored:
+        # constant buffers (PE tables, codebooks) are not trainable state
+        restored["buffers"] = params["buffers"]
+    params = restored
+
+    data_root = args.data_root or os.path.join(
+        os.path.dirname(args.ckpt.rstrip("/")), "synthetic")
+    dataset = NuPlanTokenDataset(DataConfig(data_root=(data_root,),
+                                            block_size=args.cond + 1))
+    scene = dataset[0]
+    cond = {m: np.asarray(scene[m])[None, :args.cond]
+            for m in model.layout.mod_order}
+
+    gen = Generator(model, params, seed=0)
+    gen.generate(cond, new_frames=args.frames, input_cond_frames=-1,
+                 progress=True)
+
+    chunks, acc = gen.spec_chunks, gen.spec_accepted
+    spec_positions = chunks + acc
+    print(f"chunks={chunks} accepted={acc} "
+          f"({acc / max(chunks, 1):.2f} drafts/chunk at K={args.k})")
+    print(f"OAR steps on speculative segments: {chunks} vs {spec_positions} "
+          f"sequential → {spec_positions / max(chunks, 1):.2f}x fewer")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     p.add_argument("--window", type=int, default=4,
                    help="frames per training clip window")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="LR warmup steps (default min(1000, steps/10) so "
+                        "short runs actually reach peak LR)")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--data_root", default="data/tokenized_origin_scenes")
@@ -80,7 +83,10 @@ def main(argv=None) -> int:
     cfg = ModelConfig(remat=args.remat,
                       use_pallas_attention=False).scaled(args.model_scale)
     model = UMGen(cfg)
+    warmup = args.warmup if args.warmup is not None else \
+        min(1000, max(args.steps // 10, 1))
     trainer = UMGenTrainer(model, learning_rate=args.lr,
+                           warmup_steps=warmup,
                            total_steps=args.steps)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     state = trainer.init_state(params)
