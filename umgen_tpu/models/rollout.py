@@ -130,6 +130,15 @@ class Rollout:
         if cfg.sample_method == "greedy":
             self._samplers = {m: make_sampler("greedy", 0)
                               for m in self._samplers}
+        if cfg.speculative_k > 0 and cfg.oar_cache_dtype == "int4":
+            # every verify chunk would dequantize the whole int4 prefix
+            # through the XLA multi-query body — pathologically slower
+            # than sequential fused decode.  Needs a fused multi-query
+            # int4 kernel before the combination makes sense.
+            raise ValueError(
+                "speculative_k > 0 is not supported with the int4 OAR "
+                "cache; use oar_cache_dtype='int8' for speculative "
+                "decoding")
         # ego box used by the collision rule (ref:UMGen.py:1320-1336)
         ego = EGO_WHL["nuplan"]
         self._ego_box = np.array(
