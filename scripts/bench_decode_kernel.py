@@ -142,6 +142,15 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5i4,
                                        batch_block=int(tail) if tail else 0)
                 shape = "i4"                   # packed cache + scale planes
+            elif v.startswith("w4i4"):         # int4 weights + int4 KV
+                tail = v[6:] if v.startswith("w4i4bb") else ""
+                if v.startswith("w4i4bb") and not tail.isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected w4i4bbN)")
+                    continue
+                packed = dk.pack_fused_oar_w4(make_params(L, d, 0))
+                fn = functools.partial(dk.fused_decode_step_w4i4,
+                                       batch_block=int(tail) if tail else 0)
+                shape = "i4"
             elif v.startswith("w4"):           # W4A8; w4bbN = batch-split
                 if v.startswith("w4bb") and not v[4:].isdigit():
                     print(f"B={B} {v}: SKIPPED (expected w4bbN)")

@@ -534,3 +534,39 @@ def test_w4_interpret_matches_xla(interpret_kernels):
         b = np.asarray(h_f, np.float32)
         # int4 group weights add real error (documented envelope)
         assert np.abs(a - b).max() / np.abs(a).max() < 0.12, bb
+
+
+def test_w4i4_interpret_matches_xla(interpret_kernels):
+    """w4i4 (int4 weights + int4 KV — the minimum-bytes step), whole-batch
+    and batch-split, vs the un-quantized XLA step — interpret mode."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    packed = dk.pack_fused_oar_w4(params["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, 1, d)), jnp.bfloat16)
+    cl = jnp.int32(300)
+
+    h_ref, _, _ = ro.oar_step(params, x, kv_bf, vv_bf, cl)
+    a = np.asarray(h_ref, np.float32)
+    kp, ks = dk.quantize_kv_int4(kv_bf.reshape(2, B, S, HD), H)
+    vp, vs = dk.quantize_kv_int4(vv_bf.reshape(2, B, S, HD), H)
+    for bb in (0, 1):
+        h_f, _, _, _, _ = dk.fused_decode_step_w4i4(
+            packed, x, kp, vp, ks, vs, cl, n_head=H, batch_block=bb)
+        h_f = nn.layer_norm(params["ln_oar"], h_f)
+        b = np.asarray(h_f, np.float32)
+        # int4 weights + int4 KV stack both quantization errors
+        assert np.abs(a - b).max() / np.abs(a).max() < 0.15, bb

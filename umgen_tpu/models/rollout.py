@@ -304,12 +304,15 @@ class Rollout:
         same attention math as the dense path, rows re-quantized per
         (row, head) on writeback."""
         from umgen_tpu.ops.decode_kernel import (fused_decode_step_v5i4,
+                                                 fused_decode_step_w4i4,
                                                  quantize_kv_int4)
         cfg = self.config
         n_head = cfg.n_head
         B, Q, D = x.shape
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
-            fused = fused_decode_step_v5i4
+            fused = (fused_decode_step_w4i4
+                     if "wqp4" in params["oar_packed"]
+                     else fused_decode_step_v5i4)
             if cfg.oar_batch_block:
                 fused = functools.partial(fused,
                                           batch_block=cfg.oar_batch_block)

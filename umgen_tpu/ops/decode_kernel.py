@@ -2689,3 +2689,304 @@ def fused_decode_step_v5i4(packed: Params, x: jnp.ndarray,
     v_scale = jax.lax.dynamic_update_slice(
         v_scale, vs.astype(v_scale.dtype), (0, 0, cl0, 0))
     return h_out[:, None, :], kv_k, kv_v, k_scale, v_scale
+
+
+# ===========================================================================
+# w4i4: W4A8 weights + int4 KV — the minimum-bytes decode step
+# ===========================================================================
+# Combines the two stream reductions: group-128 int4 weights (as w4, 128 MB
+# for the 36-layer stack) and the nibble-packed per-(row, head)-scaled int4
+# cache (as v5i4, half of v5's KV bytes).  At B=4 S=2207 the step streams
+# ~380 MB vs v5's 743 — the headline large-batch serving config together
+# with the batch-split grid.
+
+def _kernel_w4i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+                 wpj_ref, sc_ref, kvk_ref, kvv_ref, ksc_ref, vsc_ref,
+                 pool_ref, poolt_ref, h_out_ref, kvnew_ref,
+                 h_scr, qp_scr, m_scr, den_scr, acc_scr,
+                 *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+                 n_bblk: int = 1, eps: float = 1e-5):
+    l = pl.program_id(0)
+    ns = pl.program_id(1)
+    nb = pl.program_id(2) if n_bblk > 1 else None
+    B, d = x_ref.shape
+    bg = B // n_bblk
+    HD = H * Dh
+    HDh = HD // 2
+    G = W4_GROUP
+    scale = 1.0 / math.sqrt(Dh)
+    cl = cl_ref[0]
+    off = _vec_offsets(d)
+
+    def vec_slice(name):
+        a, b = off[name]
+        return vec_ref[0, 0, a:b]
+
+    def layer_norm(v, w):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+    def qdot4(v, w4_ref, sc_row0, n_out, col0=0, b_vec=None):
+        Kin = v.shape[-1]
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        y = jnp.zeros((v.shape[0], n_out), jnp.float32)
+        for j in range(Kin // (2 * G)):
+            blk = w4_ref[0, j * G:(j + 1) * G, col0:col0 + n_out]
+            lo, hi = _unpack_nibbles(blk)
+            a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+            a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+            acc_lo = jax.lax.dot_general(
+                a_lo, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_hi = jax.lax.dot_general(
+                a_hi, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            r = sc_row0 + 2 * j
+            s_lo = sc_ref[0, r:r + 1, col0:col0 + n_out]
+            s_hi = sc_ref[0, r + 1:r + 2, col0:col0 + n_out]
+            y = y + acc_lo.astype(jnp.float32) * s_lo \
+                + acc_hi.astype(jnp.float32) * s_hi
+        y = y * sa
+        if b_vec is not None:
+            y = y + b_vec[None, :].astype(jnp.float32)
+        return y
+
+    def qdot4_pj(v):
+        Kin = v.shape[-1]
+        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
+        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+        y = jnp.zeros((v.shape[0], d), jnp.float32)
+        for j in range(Kin // (2 * G)):
+            blk = wpj_ref[0, j * G:(j + 1) * G, :]
+            lo, hi = _unpack_nibbles(blk)
+            a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+            a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+            acc_lo = jax.lax.dot_general(
+                a_lo, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_hi = jax.lax.dot_general(
+                a_hi, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            g_lo, g_hi = 2 * j, 2 * j + 1
+            rl, rh = 12 + g_lo // 4, 12 + g_hi // 4
+            s_lo = sc_ref[0, rl:rl + 1, (g_lo % 4) * d:(g_lo % 4 + 1) * d]
+            s_hi = sc_ref[0, rh:rh + 1, (g_hi % 4) * d:(g_hi % 4 + 1) * d]
+            y = y + acc_lo.astype(jnp.float32) * s_lo \
+                + acc_hi.astype(jnp.float32) * s_hi
+        return y * sa
+
+    pool = pool_ref[:]
+    poolt = poolt_ref[:]
+
+    # ---- ns == 0 (first batch group): whole-batch init, int4 QKV ----
+    init = (ns == 0) if n_bblk == 1 else ((ns == 0) & (nb == 0))
+
+    @pl.when(init)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            h_scr[:] = x_ref[:].astype(jnp.float32)
+        h = h_scr[:]
+        a = layer_norm(h, vec_slice("ln1"))
+        qkv = qdot4(a, wqp_ref, 0, 3 * d, col0=0,
+                    b_vec=vec_slice("qkv_b"))
+        q = qkv[:, :HD]
+        k_new = qkv[:, HD:2 * HD]
+        v_new = qkv[:, 2 * HD:]
+        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
+        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
+        for b in range(B):
+            qp = q[b][:, None] * pool
+            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
+            qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
+                jnp.round(qp / sq), -127, 127)
+            den_scr[b:b + 1, 120:121] = sq[None, None]
+        sl_all = jax.lax.dot_general(
+            (k_new * q).astype(jnp.float32), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m_scr[:, :H] = sl_all
+        den_scr[:, :H] = jnp.ones_like(sl_all)
+        acc_scr[:] = v_new
+
+    # ---- every S-block: int4 MXU flash update (as v5i4) ----
+    base = ns * bs
+    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+    valid = spos < cl
+    for bb in range(bg):
+        rb = bb if n_bblk == 1 else nb * bg + bb
+        klo, khi = _unpack_nibbles(kvk_ref[0, bb])
+        vlo, vhi = _unpack_nibbles(kvv_ref[0, bb])
+        ks = ksc_ref[0, bb]
+        vs = vsc_ref[0, bb]
+        qp_lo = qp_scr[pl.ds(rb * HD, HDh), :H].astype(jnp.int8)
+        qp_hi = qp_scr[pl.ds(rb * HD + HDh, HDh), :H].astype(jnp.int8)
+        sq = den_scr[pl.ds(rb, 1), 120:121]
+        li = (jax.lax.dot_general(klo, qp_lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+              + jax.lax.dot_general(khi, qp_hi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32))
+        logits = li.astype(jnp.float32) * ks * (sq * (scale / 7.0))
+        logits = jnp.where(valid, logits, -jnp.inf)
+        m_old = m_scr[pl.ds(rb, 1), :H]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
+                                           keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)
+        den = den_scr[pl.ds(rb, 1), :H] * corr + jnp.sum(p, axis=0,
+                                                         keepdims=True)
+        pv = (p * vs * (1.0 / 7.0)).astype(jnp.bfloat16)
+        part_lo = jax.lax.dot_general(
+            pv, vlo.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part_hi = jax.lax.dot_general(
+            pv, vhi.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        blk_mix = jnp.concatenate(
+            [jnp.sum(part_lo * poolt[:, :HDh], axis=0, keepdims=True),
+             jnp.sum(part_hi * poolt[:, HDh:], axis=0, keepdims=True)],
+            axis=1)
+        corr_lanes = jnp.sum(corr[0][:, None] * poolt, axis=0,
+                             keepdims=True)
+        acc_scr[pl.ds(rb, 1), :] = (acc_scr[pl.ds(rb, 1), :] * corr_lanes
+                                    + blk_mix)
+        m_scr[pl.ds(rb, 1), :H] = m_new
+        den_scr[pl.ds(rb, 1), :H] = den
+
+    # ---- ns == NS-1 (last batch group): finalize, int4 proj/MLP ----
+    fin = ((ns == n_sblk - 1) if n_bblk == 1
+           else ((ns == n_sblk - 1) & (nb == n_bblk - 1)))
+
+    @pl.when(fin)
+    def _():
+        h = h_scr[:]
+        den_lanes_rows = []
+        for b in range(B):
+            dl = jnp.sum(den_scr[b:b + 1, :H][0][:, None] * poolt, axis=0,
+                         keepdims=True)
+            den_lanes_rows.append(dl)
+        den_lanes = jnp.concatenate(den_lanes_rows, axis=0)
+        y = acc_scr[:] / den_lanes
+        y = qdot4(y, wqp_ref, 0, d, col0=3 * d,
+                  b_vec=vec_slice("proj_b"))
+        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        a2 = layer_norm(h, vec_slice("ln2"))
+        hid = qdot4(a2, wfc_ref, 6, 4 * d)
+        hid = _gelu_exact(hid)
+        y2 = qdot4_pj(hid)
+        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
+             ).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
+def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
+                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                           k_scale: jnp.ndarray, v_scale: jnp.ndarray,
+                           cache_len, n_head: int, block_s: int = 0,
+                           batch_block: int = 0):
+    """W4A8 weights + int4 KV decode step (minimum-bytes serving config).
+
+    packed: pack_fused_oar_w4 blocks; caches/scales as
+    fused_decode_step_v5i4.  Returns (h, kv_k, kv_v, k_scale, v_scale)."""
+    L = packed["wqp4"].shape[0]
+    _, B, S, HDp = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "w4i4 requires packed int4 storage"
+    H = n_head
+    HD = 2 * HDp
+    Dh = HD // H
+    d = x.shape[-1]
+
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                bs = cand
+                break
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                bs = cand
+                break
+    NS = S // bs
+
+    pool = jnp.asarray(_head_pool_matrix(H, Dh))
+    poolt = pool.T.copy()
+    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
+    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
+
+    grid, Bg, NB, kv_spec = _batch_split_grid(L, NS, B, bs, HD, batch_block)
+
+    def at_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, ns, *_: (l,) + (0,) * len(shape))
+
+    def lagged(shape, lag_ns):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, ns, *_, _lag=lag_ns: (
+                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
+
+    lag_pj = 1 if NS > 2 else 0
+    lag_fc = 2 if NS > 2 else 0
+    kernel = functools.partial(_kernel_w4i4, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh, n_bblk=NB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
+            at_l((1, packed["vec"].shape[-1])),           # vec
+            at_l((d // 2, 4 * d)),                        # wqp4
+            lagged((d // 2, 4 * d), lag_fc),              # wfc4
+            lagged((2 * d, d), lag_pj),                   # wpj4
+            at_l((18, 4 * d)),                            # scales4
+            kv_spec(HD // 2), kv_spec(HD // 2),           # packed K / V
+            kv_spec(H), kv_spec(H),                       # scale planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),
+                        pltpu.VMEM((B * HD, 128), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32),
+                        pltpu.VMEM((B, HD), jnp.float32)],
+    )
+    h_out, kvnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, 2 * HD), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nblk, cl, x[:, 0].astype(jnp.bfloat16), packed["vec"],
+      packed["wqp4"], packed["wfc4"], packed["wpj4"], packed["scales4"],
+      kv_k, kv_v, k_scale, v_scale, pool, poolt)
+
+    k_new = kvnew[:, :, :HD].reshape(L, B, 1, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, 1, HD)
+    kp, ks = quantize_kv_int4(k_new, H)
+    vp, vs = quantize_kv_int4(v_new, H)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, kp, (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, vp, (0, 0, cl0, 0))
+    k_scale = jax.lax.dynamic_update_slice(
+        k_scale, ks.astype(k_scale.dtype), (0, 0, cl0, 0))
+    v_scale = jax.lax.dynamic_update_slice(
+        v_scale, vs.astype(v_scale.dtype), (0, 0, cl0, 0))
+    return h_out[:, None, :], kv_k, kv_v, k_scale, v_scale
