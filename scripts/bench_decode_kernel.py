@@ -90,6 +90,7 @@ def main():
         cl = jnp.asarray(S - 8, jnp.int32)
 
         for v in args.versions.split(","):
+            mq = 0
             if v == "v2":
                 packed = dk.pack_fused_oar(params)
                 fn = dk.fused_decode_step_v2
@@ -133,6 +134,22 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5,
                                        batch_block=int(v[4:]))
                 shape = (L, B, S, H * Dh)
+            elif v.startswith("v5mqi4"):       # int4 multi-query, v5mqi4Q
+                if not v[6:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected v5mqi4Q)")
+                    continue
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v5mqi4
+                shape = "i4"
+                mq = int(v[6:])
+            elif v.startswith("v5mq"):         # multi-query verify, v5mqQ
+                if not v[4:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected v5mqQ, e.g. v5mq8)")
+                    continue
+                packed = dk.pack_fused_oar(params)
+                fn = dk.fused_decode_step_v5mq
+                shape = (L, B, S, H * Dh)
+                mq = int(v[4:])
             elif v.startswith("v5i4"):         # int4 KV; v5i4bbN splits
                 tail = v[6:] if v.startswith("v5i4bb") else ""
                 if v.startswith("v5i4bb") and not tail.isdigit():
@@ -162,7 +179,7 @@ def main():
                 shape = (L, B, S, H * Dh)
             else:
                 continue
-            if not (v.startswith(("v5flat", "v5bb", "v5i4", "w4"))
+            if not (v.startswith(("v5flat", "v5bb", "v5mq", "v5i4", "w4"))
                     or v in ("v5", "v6", "v7")):
                 shape = kv_shape
 
@@ -185,10 +202,11 @@ def main():
                     vv = jnp.zeros((L, B, S, H * Dh // 2), jnp.int8)
                     ks = jnp.ones((L, B, S, H), jnp.float32)
                     vs = jnp.ones((L, B, S, H), jnp.float32)
+                    xq = (jnp.zeros((B, mq, d), jnp.bfloat16) if mq else x)
 
                     def rep():
                         nonlocal kk, vv, ks, vs
-                        x2, kk, vv, ks, vs = many4(packed, x, kk, vv,
+                        x2, kk, vv, ks, vs = many4(packed, xq, kk, vv,
                                                    ks, vs)
                         return x2
                 else:
@@ -207,10 +225,11 @@ def main():
 
                     kk = jnp.zeros(shape, jnp.int8)
                     vv = jnp.zeros(shape, jnp.int8)
+                    xq = (jnp.zeros((B, mq, d), jnp.bfloat16) if mq else x)
 
                     def rep():
                         nonlocal kk, vv
-                        h, kk, vv = many(packed, x, kk, vv)
+                        h, kk, vv = many(packed, xq, kk, vv)
                         return h
 
                 dt = timeit(rep, n=args.n) / args.steps

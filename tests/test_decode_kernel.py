@@ -570,3 +570,95 @@ def test_w4i4_interpret_matches_xla(interpret_kernels):
         b = np.asarray(h_f, np.float32)
         # int4 weights + int4 KV stack both quantization errors
         assert np.abs(a - b).max() / np.abs(a).max() < 0.15, bb
+
+
+@pytest.mark.parametrize("Q,cl", [(8, 300), (8, 0), (4, 117)])
+def test_v5mq_interpret_matches_xla(interpret_kernels, Q, cl):
+    """v5mq multi-query verify kernel vs the XLA multi-row oar_step —
+    interpret mode on CPU.  Covers the lane-packed Q*H = 128 case (K=8
+    speculative chunks), a non-full lane pack (Q=4), and an empty prefix."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = dk.pack_fused_oar(pq["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, Q, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_bf, vv_bf, jnp.int32(cl))
+    a = np.asarray(h_ref, np.float32)
+
+    kv8 = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    vv8 = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    h_f, kk_f, _ = dk.fused_decode_step_v5mq(packed, x, kv8, vv8,
+                                             jnp.int32(cl), n_head=H)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    b = np.asarray(h_f, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.06
+
+    # written K rows match over the whole chunk [cl, cl+Q)
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl:cl + Q]
+    krow_f = (np.asarray(kk_f.astype(jnp.float32))[:, :, cl:cl + Q]
+              / dk.KV_INT8_SCALE).reshape(krow_ref.shape)
+    np.testing.assert_allclose(krow_ref, krow_f, atol=0.1)
+
+
+@pytest.mark.parametrize("Q,cl", [(8, 300), (4, 0)])
+def test_v5mqi4_interpret_matches_xla(interpret_kernels, Q, cl):
+    """v5mqi4 (multi-query on the int4 packed cache) vs the XLA multi-row
+    oar_step — interpret mode on CPU."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    pq = quantize_params_int8(params)
+    packed = dk.pack_fused_oar(pq["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, Q, d)), jnp.bfloat16)
+
+    h_ref, kk_ref, _ = ro.oar_step(pq, x, kv_bf, vv_bf, jnp.int32(cl))
+    a = np.asarray(h_ref, np.float32)
+
+    kp, ks = dk.quantize_kv_int4(kv_bf.reshape(2, B, S, HD), H)
+    vp, vs = dk.quantize_kv_int4(vv_bf.reshape(2, B, S, HD), H)
+    h_f, kpo, _, kso, _ = dk.fused_decode_step_v5mqi4(
+        packed, x, kp, vp, ks, vs, jnp.int32(cl), n_head=H)
+    h_f = nn.layer_norm(pq["ln_oar"], h_f)
+    b = np.asarray(h_f, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.07
+
+    # written rows dequantize back to the reference chunk K rows
+    krow_ref = np.asarray(kk_ref.astype(jnp.float32))[:, :, cl:cl + Q]
+    p = np.asarray(kpo)[:, :, cl:cl + Q].astype(np.int8)
+    lo = ((p & 0xF) ^ 8).astype(np.int8) - 8
+    hi = (p >> 4).astype(np.int8)
+    qrow = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    s = np.asarray(kso)[:, :, cl:cl + Q]                  # [L,B,Q,H]
+    deq = (qrow.reshape(2, B, Q, H, Dh)
+           * (s[..., None] / 7.0)).reshape(krow_ref.shape)
+    np.testing.assert_allclose(krow_ref, deq, atol=0.2)

@@ -130,15 +130,21 @@ class Rollout:
         if cfg.sample_method == "greedy":
             self._samplers = {m: make_sampler("greedy", 0)
                               for m in self._samplers}
-        if cfg.speculative_k > 0 and cfg.oar_cache_dtype == "int4":
-            # every verify chunk would dequantize the whole int4 prefix
-            # through the XLA multi-query body — pathologically slower
-            # than sequential fused decode.  Needs a fused multi-query
-            # int4 kernel before the combination makes sense.
+        if cfg.speculative_k > 0 and cfg.oar_cache_dtype == "int4" \
+                and not cfg.fused_oar_kernel:
+            # without the fused v5mqi4 kernel every verify chunk would
+            # dequantize the whole int4 prefix through the XLA multi-query
+            # body — pathologically slower than sequential fused decode
             raise ValueError(
-                "speculative_k > 0 is not supported with the int4 OAR "
-                "cache; use oar_cache_dtype='int8' for speculative "
-                "decoding")
+                "speculative_k > 0 with the int4 OAR cache requires "
+                "fused_oar_kernel=True (the v5mqi4 verify kernel); use "
+                "oar_cache_dtype='int8' otherwise")
+        if (cfg.speculative_k > 0 and cfg.oar_cache_dtype == "int4"
+                and cfg.speculative_k * cfg.n_head > 128):
+            raise ValueError(
+                "speculative_k * n_head must be <= 128 with the int4 OAR "
+                "cache (v5mqi4 lane-packs the queries; larger chunks "
+                "would fall back to the pathological XLA int4 body)")
         # ego box used by the collision rule (ref:UMGen.py:1320-1336)
         ego = EGO_WHL["nuplan"]
         self._ego_box = np.array(
@@ -230,6 +236,19 @@ class Rollout:
                     params["oar_packed"], x, kv_k, kv_v, cache_len,
                     n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
+        if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
+                and "oar_packed" in params
+                and "wqp4" not in params["oar_packed"]
+                and kv_k.ndim == 4 and kv_k.dtype == jnp.int8):
+            # multi-query verify chunks (speculative decoding) ride the
+            # fused v5mq kernel: all Q queries share one weight + KV
+            # stream instead of paying the XLA body's per-layer cache
+            # relayout/dequant per chunk
+            from umgen_tpu.ops import decode_kernel as dk
+            h, kv_k, kv_v = dk.fused_decode_step_v5mq(
+                params["oar_packed"], x, kv_k, kv_v, cache_len,
+                n_head=n_head)
+            return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         if cfg.fused_oar_kernel and Q == 1 and kv_k.ndim == 5 \
                 and "wq" in params["oar"]["attn"]["qkv"]:
             from umgen_tpu.ops.decode_kernel import fused_decode_step
@@ -304,11 +323,23 @@ class Rollout:
         same attention math as the dense path, rows re-quantized per
         (row, head) on writeback."""
         from umgen_tpu.ops.decode_kernel import (fused_decode_step_v5i4,
+                                                 fused_decode_step_v5mqi4,
                                                  fused_decode_step_w4i4,
                                                  quantize_kv_int4)
         cfg = self.config
         n_head = cfg.n_head
         B, Q, D = x.shape
+        if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
+                and "oar_packed" in params
+                and "wqp" in params["oar_packed"]):
+            # speculative verify chunks on the int4 cache ride the fused
+            # multi-query kernel — the XLA body below dequantizes the
+            # whole packed prefix per layer per chunk
+            h, kp, vp, ks, vs = fused_decode_step_v5mqi4(
+                params["oar_packed"], x, kv_k.packed, kv_v.packed,
+                kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
+            return (nn.layer_norm(params["ln_oar"], h),
+                    PackedKV(kp, ks), PackedKV(vp, vs))
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
             fused = (fused_decode_step_w4i4
                      if "wqp4" in params["oar_packed"]

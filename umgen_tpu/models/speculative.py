@@ -12,6 +12,9 @@ emitted stream is distributed exactly as sequential sampling from the OAR.
 Sequential decode pays the full ~255 MB OAR weight stream per token; a
 verify step pays it once per chunk, so throughput scales with the
 acceptance rate (high when the TAR is trained — it is the frame prior).
+With the fused OAR kernels enabled, verify chunks ride the multi-query
+v5mq kernel (ops/decode_kernel.py): all K queries share one weight + KV
+stream, so a chunk really does cost ~one sequential step of HBM traffic.
 
 Cache discipline: each chunk pushes K inputs at cache positions
 [c0+pos-1, c0+pos+K-2].  On partial acceptance the next chunk's writes
