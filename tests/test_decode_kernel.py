@@ -662,3 +662,83 @@ def test_v5mqi4_interpret_matches_xla(interpret_kernels, Q, cl):
     deq = (qrow.reshape(2, B, Q, H, Dh)
            * (s[..., None] / 7.0)).reshape(krow_ref.shape)
     np.testing.assert_allclose(krow_ref, deq, atol=0.2)
+
+
+def _mk_quantized_rollout(oar_cache_dtype, **cfg_kw):
+    from umgen_tpu.runtime.quantize import pack_fused, quantize_params_int8
+
+    cfg = ModelConfig(oar_cache_dtype=oar_cache_dtype, n_oar_layer=2,
+                      fused_oar_kernel=True, **cfg_kw)
+    ro = Rollout(UMGen(cfg))
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    return ro, params, pack_fused(quantize_params_int8(params)), cfg
+
+
+def test_oar_step_dispatches_multiquery_kernels(interpret_kernels,
+                                                monkeypatch):
+    """rollout.oar_step (int8 flat) and _oar_step_int4 (PackedKV) must
+    route chunk-sized Q>1 pushes to the fused multi-query kernels — a
+    broken gate would silently fall back to the slow XLA body (the
+    headline of the v5mq/v5mqi4 change)."""
+    from umgen_tpu.models.rollout import PackedKV
+    from umgen_tpu.ops import decode_kernel as dk
+
+    B, S, Q = 2, 512, 8
+    H = ModelConfig().n_head
+    Dh = ModelConfig().head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv8 = jnp.zeros((2, B, S, HD), jnp.int8)
+    x = jnp.asarray(rng.normal(0, 1, (B, Q, 768)), jnp.bfloat16)
+    cl = jnp.int32(300)
+
+    hits = []
+    real_mq, real_mqi4 = (dk.fused_decode_step_v5mq,
+                          dk.fused_decode_step_v5mqi4)
+    monkeypatch.setattr(dk, "fused_decode_step_v5mq",
+                        lambda *a, **k: (hits.append("mq"),
+                                         real_mq(*a, **k))[1])
+    monkeypatch.setattr(dk, "fused_decode_step_v5mqi4",
+                        lambda *a, **k: (hits.append("mqi4"),
+                                         real_mqi4(*a, **k))[1])
+
+    ro8, params8, pq8, _ = _mk_quantized_rollout("int8")
+    h, _, _ = ro8.oar_step(pq8, x, kv8, kv8, cl)
+    assert hits == ["mq"] and h.shape == (B, Q, 768)
+
+    ro4, params4, pq4, _ = _mk_quantized_rollout("int4")
+    kvp = PackedKV(jnp.zeros((2, B, S, HD // 2), jnp.int8),
+                   jnp.ones((2, B, S, H), jnp.float32))
+    h, kk, _ = ro4.oar_step(pq4, x, kvp, kvp, cl)
+    assert hits == ["mq", "mqi4"] and h.shape == (B, Q, 768)
+    assert kk.packed.shape == (2, B, S, HD // 2)
+
+    # with the batch-split knob the mq kernels must NOT engage (no
+    # batch-split grid; whole-batch blocks OOM at the B that needs it)
+    hits.clear()
+    ro_bb, _, pq_bb, _ = _mk_quantized_rollout("int8", oar_batch_block=2)
+    ro_bb.oar_step(pq_bb, x, kv8, kv8, cl)
+    assert hits == []
+
+
+def test_rollout_speculative_guards():
+    """Construction guards for speculative decoding combinations."""
+    import pytest as _pytest
+
+    ModelConfig  # keep flake quiet
+    with _pytest.raises(ValueError, match="fused_oar_kernel"):
+        Rollout(UMGen(ModelConfig(speculative_k=8, oar_cache_dtype="int4",
+                                  fused_oar_kernel=False)))
+    with _pytest.raises(ValueError, match="128"):
+        Rollout(UMGen(ModelConfig(speculative_k=16, oar_cache_dtype="int4",
+                                  fused_oar_kernel=True)))
+    with _pytest.raises(ValueError, match="oar_batch_block"):
+        Rollout(UMGen(ModelConfig(speculative_k=8, fused_oar_kernel=True,
+                                  oar_batch_block=2)))
+    # allowed: int4 + speculative with fused kernels on
+    Rollout(UMGen(ModelConfig(speculative_k=8, oar_cache_dtype="int4",
+                              fused_oar_kernel=True)))

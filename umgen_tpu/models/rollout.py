@@ -145,6 +145,14 @@ class Rollout:
                 "speculative_k * n_head must be <= 128 with the int4 OAR "
                 "cache (v5mqi4 lane-packs the queries; larger chunks "
                 "would fall back to the pathological XLA int4 body)")
+        if cfg.speculative_k > 0 and cfg.oar_batch_block:
+            # the multi-query verify kernels have no batch-split grid:
+            # at the batch sizes that need oar_batch_block their
+            # whole-batch blocks do not fit VMEM
+            raise ValueError(
+                "speculative_k > 0 is not supported together with "
+                "oar_batch_block (the fused multi-query verify kernels "
+                "run whole-batch); drop one of the two")
         # ego box used by the collision rule (ref:UMGen.py:1320-1336)
         ego = EGO_WHL["nuplan"]
         self._ego_box = np.array(
@@ -237,6 +245,7 @@ class Rollout:
                     n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
+                and not cfg.oar_batch_block
                 and "oar_packed" in params
                 and "wqp4" not in params["oar_packed"]
                 and kv_k.ndim == 4 and kv_k.dtype == jnp.int8):
@@ -330,16 +339,29 @@ class Rollout:
         n_head = cfg.n_head
         B, Q, D = x.shape
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
-                and "oar_packed" in params
-                and "wqp" in params["oar_packed"]):
-            # speculative verify chunks on the int4 cache ride the fused
-            # multi-query kernel — the XLA body below dequantizes the
-            # whole packed prefix per layer per chunk
-            h, kp, vp, ks, vs = fused_decode_step_v5mqi4(
-                params["oar_packed"], x, kv_k.packed, kv_v.packed,
-                kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
-            return (nn.layer_norm(params["ln_oar"], h),
-                    PackedKV(kp, ks), PackedKV(vp, vs))
+                and not cfg.oar_batch_block
+                and "oar_packed" in params):
+            if "wqp" in params["oar_packed"]:
+                # speculative verify chunks on the int4 cache ride the
+                # fused multi-query kernel — the XLA body below
+                # dequantizes the whole packed prefix per layer per chunk
+                h, kp, vp, ks, vs = fused_decode_step_v5mqi4(
+                    params["oar_packed"], x, kv_k.packed, kv_v.packed,
+                    kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
+                return (nn.layer_norm(params["ln_oar"], h),
+                        PackedKV(kp, ks), PackedKV(vp, vs))
+            if cfg.speculative_k > 0:
+                # W4 packing has no multi-query kernel yet; verify chunks
+                # would dequantize the whole int4 prefix per layer in the
+                # XLA body below — surface it at trace time instead of
+                # silently running pathologically slow
+                import warnings
+                warnings.warn(
+                    "speculative verify chunks with W4-packed weights and "
+                    "the int4 OAR cache fall back to the XLA multi-query "
+                    "body (no w4 multi-query kernel); expect severe "
+                    "slowdown — use int8 weight packing with "
+                    "speculative_k", stacklevel=2)
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
             fused = (fused_decode_step_w4i4
                      if "wqp4" in params["oar_packed"]

@@ -279,6 +279,23 @@ def fused_decode_step(oar_params: Params, x: jnp.ndarray,
 KV_INT8_SCALE = 16.0     # fixed-grid int8 KV: step 1/16, range ±7.94
 
 
+def _pick_block_s(S: int, block_s: int) -> int:
+    """The v5-family S-block heuristic: an explicitly given divisor wins;
+    otherwise the preferred list, then the largest divisor of S that is a
+    multiple of 8 up to 640 (a non-dividing explicit block_s skips the
+    preferred list but still falls back to the divisor scan)."""
+    bs = block_s if block_s and S % block_s == 0 else S
+    if bs == S and not block_s:
+        for cand in (552, 512, 416, 384, 368, 256):
+            if S % cand == 0:
+                return cand
+    if bs == S:
+        for cand in range(min(S, 640), 63, -8):
+            if S % cand == 0:
+                return cand
+    return bs
+
+
 _VEC_OFF = {}
 
 
@@ -1361,17 +1378,7 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
     d = x.shape[-1]
     HD = H * Dh
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     kvk = kv_k if kv_k.ndim == 4 else kv_k.reshape(L, B, S, HD)
@@ -1645,17 +1652,7 @@ def fused_decode_step_v6(packed: Params, x: jnp.ndarray,
     d = x.shape[-1]
     Dh = HD // H
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
     assert bs % 8 == 0, "v6 append window needs bs % 8 == 0"
 
@@ -2034,17 +2031,7 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
     d = x.shape[-1]
     Dh = HD // H
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     pool = jnp.asarray(_head_pool_matrix(H, Dh))
@@ -2299,17 +2286,7 @@ def fused_decode_step_v7(packed: Params, x: jnp.ndarray,
     HD = H * Dh
     BH = B * H
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     pool_np = np.asarray(_head_pool_matrix(H, Dh), np.float32)  # [HD, H]
@@ -2605,17 +2582,7 @@ def fused_decode_step_v5i4(packed: Params, x: jnp.ndarray,
     Dh = HD // H
     d = x.shape[-1]
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     pool = jnp.asarray(_head_pool_matrix(H, Dh))
@@ -2905,17 +2872,7 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
     Dh = HD // H
     d = x.shape[-1]
 
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     pool = jnp.asarray(_head_pool_matrix(H, Dh))
@@ -2993,14 +2950,15 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
 
 
 # ===========================================================================
-# v5mq: multi-query verify-chunk kernel (speculative decoding)
+# v5mq / v5mqi4: multi-query verify-chunk kernels (speculative decoding)
 # ===========================================================================
 # The speculative verify step (models/speculative.py) pushes Q = K drafts
 # through the OAR stack in one call.  The XLA multi-query body re-layouts
 # and dequantizes every layer's whole cache slice per chunk — exactly the
-# per-step relayout tax the flat-cache v5 kernel removed for Q == 1.  v5mq
-# generalizes v5 to Q <= 128 // H queries by packing each scene's Q head-
-# pooled query operands into the 128-lane axis (Q*H = 128 at Q = 8, H = 16):
+# per-step relayout tax the flat-cache v5 kernel removed for Q == 1.  These
+# kernels generalize v5 to Q <= 128 // H queries by packing each scene's Q
+# head-pooled query operands into the 128-lane axis (Q*H = 128 at Q = 8,
+# H = 16):
 #
 #   * the prefix attention still costs ONE [bs, HD] x [HD, Q*H] MXU dot per
 #     (scene, S-block) — all Q queries ride the same KV stream, so a verify
@@ -3013,19 +2971,28 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
 #     (models/rollout.py oar_step; ref:UMGen.py:1234-1247 decodes these
 #     positions sequentially — the reference has no speculative mode).
 #
-# Requires flat [L, B, S, HD] int8 KV caches and pack_fused_oar params.
+# One kernel body serves both cache formats (int4=False: flat [L, B, S,
+# HD] int8 / pack_fused_oar params; int4=True: nibble-packed halves +
+# per-(row, head) scale planes, scales lane-tiled across the Q groups).
 
-def _kernel_v5mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
-                 wpj_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
-                 h_out_ref, kvnew_ref,
-                 h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
-                 *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-                 Q: int, eps: float = 1e-5):
+def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
+               wpj_ref, *rest,
+               n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
+               Q: int, int4: bool, eps: float = 1e-5):
+    if int4:
+        (kvk_ref, kvv_ref, ksc_ref, vsc_ref, pool_ref, poolt_ref,
+         h_out_ref, kvnew_ref,
+         h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr) = rest
+    else:
+        (kvk_ref, kvv_ref, pool_ref, poolt_ref,
+         h_out_ref, kvnew_ref,
+         h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr) = rest
     l = pl.program_id(0)
     ns = pl.program_id(1)
     R, d = x_ref.shape                 # R = B * Q query rows
     B = R // Q
     HD = H * Dh
+    HDh = HD // 2
     QH = Q * H
     scale = 1.0 / math.sqrt(Dh)
     cl = cl_ref[0]
@@ -3054,7 +3021,8 @@ def _kernel_v5mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
     poolt = poolt_ref[:]               # [H, HD] f32
 
     # ---- ns == 0: hidden init, QKV for all R rows, packed q-pools,
-    # intra-chunk causal flash init ----
+    # intra-chunk causal flash init (the chunk's own K/V rows stay full
+    # precision inside the step, matching the XLA multi-row bodies) ----
     @pl.when(ns == 0)
     def _():
         @pl.when(l == 0)
@@ -3105,20 +3073,34 @@ def _kernel_v5mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             den_scr[b:b + 1, :QH] = den0.reshape(1, QH)
             acc_scr[b * Q:(b + 1) * Q, :] = acc0
 
-    # ---- every S-block: one [bs, HD] x [HD, QH] MXU dot per scene ----
+    # ---- every S-block: one [bs, HD] x [HD, QH] MXU dot per scene
+    # (two half-width dots on the int4 nibble halves) ----
     base = ns * bs
     spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, QH), 0)
     valid = spos < cl
     for b in range(B):
-        kmat = kvk_ref[0, b]                             # [bs, HD] i8
-        vmat = kvv_ref[0, b]
         qp_i8 = qp_scr[pl.ds(b * HD, HD), :QH].astype(jnp.int8)
         sq = sq_scr[pl.ds(b, 1), 0:1]                    # [1, 1]
-        li = jax.lax.dot_general(kmat, qp_i8,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        logits = (li.astype(jnp.float32)
-                  * (sq * (scale / KV_INT8_SCALE)))      # [bs, QH]
+        if int4:
+            klo, khi = _unpack_nibbles(kvk_ref[0, b])    # [bs, HD/2] i8
+            vlo, vhi = _unpack_nibbles(kvv_ref[0, b])
+            ks_q = jnp.tile(ksc_ref[0, b], (1, Q))       # [bs, QH]
+            vs_q = jnp.tile(vsc_ref[0, b], (1, Q))
+            li = (jax.lax.dot_general(
+                      klo, qp_i8[:HDh], (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.int32)
+                  + jax.lax.dot_general(
+                      khi, qp_i8[HDh:], (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.int32))
+            logits = li.astype(jnp.float32) * ks_q * (sq * (scale / 7.0))
+        else:
+            kmat = kvk_ref[0, b]                         # [bs, HD] i8
+            vmat = kvv_ref[0, b]
+            li = jax.lax.dot_general(kmat, qp_i8,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            logits = (li.astype(jnp.float32)
+                      * (sq * (scale / KV_INT8_SCALE)))  # [bs, QH]
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(b, 1), :QH]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -3127,299 +3109,32 @@ def _kernel_v5mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         p = jnp.exp(logits - m_new)                      # [bs, QH]
         den = den_scr[pl.ds(b, 1), :QH] * corr + jnp.sum(p, axis=0,
                                                          keepdims=True)
-        part = jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            (vmat.astype(jnp.bfloat16)
-             * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [QH, HD]
-        for qi in range(Q):
-            blk_mix = jnp.sum(part[qi * H:(qi + 1) * H] * poolt, axis=0,
-                              keepdims=True)             # [1, HD]
-            corr_l = jnp.sum(corr[0, qi * H:(qi + 1) * H][:, None] * poolt,
-                             axis=0, keepdims=True)
-            r = b * Q + qi
-            acc_scr[pl.ds(r, 1), :] = (acc_scr[pl.ds(r, 1), :] * corr_l
-                                       + blk_mix)
-        m_scr[pl.ds(b, 1), :QH] = m_new
-        den_scr[pl.ds(b, 1), :QH] = den
-
-    # ---- ns == NS-1: finalize, proj, MLP on all R rows ----
-    @pl.when(ns == n_sblk - 1)
-    def _():
-        h = h_scr[:]
-        den_rows = []
-        for b in range(B):
-            for qi in range(Q):
-                dl = jnp.sum(
-                    den_scr[b:b + 1, qi * H:(qi + 1) * H][0][:, None]
-                    * poolt, axis=0, keepdims=True)      # [1, HD]
-                den_rows.append(dl)
-        den_lanes = jnp.concatenate(den_rows, axis=0)    # [R, HD]
-        y = acc_scr[:] / den_lanes
-        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
-                 vec_slice("proj_b"))
-        h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
-             ).astype(jnp.float32)
-        a2 = layer_norm(h, vec_slice("ln2"))
-        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
-        hid = _gelu_exact(hid)
-        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
-        h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
-             ).astype(jnp.float32)
-        h_scr[:] = h
-
-        @pl.when(l == n_layers - 1)
-        def _():
-            h_out_ref[:] = h.astype(h_out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
-def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
-                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                           cache_len, n_head: int, block_s: int = 0
-                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Multi-query fused verify step: x [B, Q, d], 1 < Q <= 128 // n_head.
-
-    Same packing/caches as fused_decode_step_v5 (flat [L, B, S, HD] int8);
-    the Q rows attend causally within the chunk and to the prefix below
-    cache_len, and their K/V rows are written back at cache_len — exactly
-    oar_step's multi-row semantics.  Returns (h [B, Q, d], kv_k, kv_v)."""
-    L, B, S, HD = kv_k.shape
-    assert kv_k.dtype == jnp.int8, "v5mq requires int8 KV storage"
-    H = n_head
-    Dh = HD // H
-    d = x.shape[-1]
-    Q = x.shape[1]
-    if not 1 < Q * H <= 128:
-        raise ValueError(f"v5mq needs 1 < Q*H <= 128, got Q={Q}, H={H}")
-    R = B * Q
-
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
-    NS = S // bs
-
-    pool = jnp.asarray(_head_pool_matrix(H, Dh))
-    poolt = pool.T.copy()
-    cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
-    nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
-    grid, _, _, kv_spec = _batch_split_grid(L, NS, B, bs, HD, 0)
-
-    def at_l(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda l, ns, *_: (l,) + (0,) * len(shape))
-
-    def lagged(shape, lag_ns):
-        return pl.BlockSpec(
-            (1,) + shape,
-            lambda l, ns, *_, _lag=lag_ns: (
-                jnp.maximum(l - (ns < _lag), 0),) + (0,) * len(shape))
-
-    lag_pj = 1 if NS > 2 else 0
-    lag_fc = 2 if NS > 2 else 0
-    kernel = functools.partial(_kernel_v5mq, n_layers=L, n_sblk=NS, bs=bs,
-                               H=H, Dh=Dh, Q=Q)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # x
-            at_l((1, packed["vec"].shape[-1])),           # vec
-            at_l((d, 4 * d)),                             # wqp
-            lagged((d, 4 * d), lag_fc),                   # wfc
-            lagged((4 * d, d), lag_pj),                   # wpj
-            kv_spec(), kv_spec(),
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 2 * HD), lambda l, ns, *_: (l, 0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((R, d), jnp.float32),         # h
-                        pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pools
-                        pltpu.VMEM((B, 128), jnp.float32),       # m
-                        pltpu.VMEM((B, 128), jnp.float32),       # den
-                        pltpu.VMEM((R, HD), jnp.float32),        # acc
-                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
-    )
-    h_out, kvnew = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((R, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, R, 2 * HD), jnp.bfloat16),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * len(grid),
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(nblk, cl, x.reshape(R, d).astype(jnp.bfloat16), packed["vec"],
-      packed["wqp"], packed["wfc"], packed["wpj"], kv_k, kv_v,
-      pool, poolt)
-
-    k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
-    v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
-    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
-                     -127, 127)
-    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
-                     -127, 127)
-    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
-                                        (0, 0, cl0, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
-                                        (0, 0, cl0, 0))
-    return h_out.reshape(B, Q, d), kv_k, kv_v
-
-
-# ===========================================================================
-# v5mqi4: multi-query verify chunks on the int4 packed cache
-# ===========================================================================
-# v5mq's lane-packed queries (Q*H <= 128) over v5i4's nibble-packed cache:
-# per-(row, head) K/V scales broadcast across the Q query groups by lane
-# tiling.  Lifts the speculative_k x int4-cache restriction — without this
-# kernel every verify chunk would dequantize the whole int4 prefix through
-# the XLA multi-query body.
-
-def _kernel_v5mqi4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
-                   wpj_ref, kvk_ref, kvv_ref, ksc_ref, vsc_ref,
-                   pool_ref, poolt_ref, h_out_ref, kvnew_ref,
-                   h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
-                   *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-                   Q: int, eps: float = 1e-5):
-    l = pl.program_id(0)
-    ns = pl.program_id(1)
-    R, d = x_ref.shape                 # R = B * Q query rows
-    B = R // Q
-    HD = H * Dh
-    HDh = HD // 2
-    QH = Q * H
-    scale = 1.0 / math.sqrt(Dh)
-    cl = cl_ref[0]
-    off = _vec_offsets(d)
-
-    def vec_slice(name):
-        a, b = off[name]
-        return vec_ref[0, 0, a:b]
-
-    def layer_norm(v, w):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
-        return (v - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
-
-    def qdot(v, w_blk, ws, b=None):
-        sa = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0 + 1e-12
-        aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(aq, w_blk, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * sa * ws[None, :].astype(jnp.float32)
-        if b is not None:
-            y = y + b[None, :].astype(jnp.float32)
-        return y
-
-    pool = pool_ref[:]                 # [HD, H] f32
-    poolt = poolt_ref[:]               # [H, HD] f32
-
-    # ---- ns == 0: QKV, packed q-pools, intra-chunk causal flash init
-    # (identical to _kernel_v5mq — the chunk's own K/V rows are full
-    # precision inside the step, matching _oar_step_int4's XLA body) ----
-    @pl.when(ns == 0)
-    def _():
-        @pl.when(l == 0)
-        def _():
-            h_scr[:] = x_ref[:].astype(jnp.float32)
-        h = h_scr[:]
-        a = layer_norm(h, vec_slice("ln1"))
-        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
-                   vec_slice("qkv_b"))
-        q = qkv[:, :HD]
-        k_new = qkv[:, HD:2 * HD]
-        v_new = qkv[:, 2 * HD:]
-        kvnew_ref[0, :, :HD] = k_new.astype(kvnew_ref.dtype)
-        kvnew_ref[0, :, HD:] = v_new.astype(kvnew_ref.dtype)
-        for b in range(B):
-            qb = q[b * Q:(b + 1) * Q]                    # [Q, HD]
-            kb = k_new[b * Q:(b + 1) * Q]
-            vb = v_new[b * Q:(b + 1) * Q]
-            qp = jnp.concatenate([qb[qi][:, None] * pool
-                                  for qi in range(Q)], axis=1)  # [HD, QH]
-            sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
-            qp_scr[b * HD:(b + 1) * HD, :QH] = jnp.clip(
-                jnp.round(qp / sq), -127, 127)
-            sq_scr[b:b + 1, 0:1] = sq[None, None]
-            lij = []
-            for j in range(Q):
-                lj = jax.lax.dot_general(
-                    (qb * kb[j][None, :]).astype(jnp.float32), pool,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale   # [Q, H]
-                iidx = jax.lax.broadcasted_iota(jnp.int32, (Q, H), 0)
-                lij.append(jnp.where(iidx >= j, lj, -jnp.inf))
-            m0 = lij[0]
-            for j in range(1, Q):
-                m0 = jnp.maximum(m0, lij[j])
-            den0 = jnp.zeros((Q, H), jnp.float32)
-            acc0 = jnp.zeros((Q, HD), jnp.float32)
-            for j in range(Q):
-                p = jnp.exp(lij[j] - m0)                 # [Q, H]
-                den0 = den0 + p
-                lanes = jax.lax.dot_general(
-                    p, poolt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [Q, HD]
-                acc0 = acc0 + lanes * vb[j][None, :]
-            m_scr[b:b + 1, :QH] = m0.reshape(1, QH)
-            den_scr[b:b + 1, :QH] = den0.reshape(1, QH)
-            acc_scr[b * Q:(b + 1) * Q, :] = acc0
-
-    # ---- every S-block: int4 nibble dots, scales tiled across Q lanes ----
-    base = ns * bs
-    spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, QH), 0)
-    valid = spos < cl
-    for b in range(B):
-        klo, khi = _unpack_nibbles(kvk_ref[0, b])        # [bs, HD/2] i8
-        vlo, vhi = _unpack_nibbles(kvv_ref[0, b])
-        ks = ksc_ref[0, b]                               # [bs, H] f32
-        vs = vsc_ref[0, b]
-        ks_q = jnp.tile(ks, (1, Q))                      # [bs, QH]
-        vs_q = jnp.tile(vs, (1, Q))
-        qp_lo = qp_scr[pl.ds(b * HD, HDh), :QH].astype(jnp.int8)
-        qp_hi = qp_scr[pl.ds(b * HD + HDh, HDh), :QH].astype(jnp.int8)
-        sq = sq_scr[pl.ds(b, 1), 0:1]                    # [1, 1]
-        li = (jax.lax.dot_general(klo, qp_lo, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-              + jax.lax.dot_general(khi, qp_hi, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32))
-        logits = li.astype(jnp.float32) * ks_q * (sq * (scale / 7.0))
-        logits = jnp.where(valid, logits, -jnp.inf)
-        m_old = m_scr[pl.ds(b, 1), :QH]
-        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
-                                           keepdims=True))
-        corr = jnp.exp(m_old - m_new)                    # [1, QH]
-        p = jnp.exp(logits - m_new)                      # [bs, QH]
-        den = den_scr[pl.ds(b, 1), :QH] * corr + jnp.sum(p, axis=0,
-                                                         keepdims=True)
-        pv = (p * vs_q * (1.0 / 7.0)).astype(jnp.bfloat16)
-        part_lo = jax.lax.dot_general(
-            pv, vlo.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [QH, HD/2]
-        part_hi = jax.lax.dot_general(
-            pv, vhi.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if int4:
+            pv = (p * vs_q * (1.0 / 7.0)).astype(jnp.bfloat16)
+            part_lo = jax.lax.dot_general(
+                pv, vlo.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [QH, HD/2]
+            part_hi = jax.lax.dot_general(
+                pv, vhi.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            part = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                (vmat.astype(jnp.bfloat16)
+                 * (1.0 / KV_INT8_SCALE)).astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [QH, HD]
         for qi in range(Q):
             sl = slice(qi * H, (qi + 1) * H)
-            blk_mix = jnp.concatenate(
-                [jnp.sum(part_lo[sl] * poolt[:, :HDh], axis=0,
-                         keepdims=True),
-                 jnp.sum(part_hi[sl] * poolt[:, HDh:], axis=0,
-                         keepdims=True)], axis=1)        # [1, HD]
+            if int4:
+                blk_mix = jnp.concatenate(
+                    [jnp.sum(part_lo[sl] * poolt[:, :HDh], axis=0,
+                             keepdims=True),
+                     jnp.sum(part_hi[sl] * poolt[:, HDh:], axis=0,
+                             keepdims=True)], axis=1)    # [1, HD]
+            else:
+                blk_mix = jnp.sum(part[sl] * poolt, axis=0,
+                                  keepdims=True)         # [1, HD]
             corr_l = jnp.sum(corr[0, sl][:, None] * poolt, axis=0,
                              keepdims=True)
             r = b * Q + qi
@@ -3458,38 +3173,19 @@ def _kernel_v5mqi4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             h_out_ref[:] = h.astype(h_out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
-def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
-                             kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                             k_scale: jnp.ndarray, v_scale: jnp.ndarray,
-                             cache_len, n_head: int, block_s: int = 0):
-    """Multi-query verify step on the int4 packed cache.
+def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
+             block_s, int4):
+    """Shared pallas_call plumbing for the multi-query kernels.
 
-    x [B, Q, d] with 1 < Q*n_head <= 128; caches/scales as
-    fused_decode_step_v5i4.  Returns (h [B, Q, d], kv_k, kv_v, k_scale,
-    v_scale) with the Q new rows quantized and appended at cache_len."""
-    L, B, S, HDp = kv_k.shape
-    assert kv_k.dtype == jnp.int8, "v5mqi4 requires packed int4 storage"
-    H = n_head
-    HD = 2 * HDp
-    Dh = HD // H
+    kv_inputs: (kv_k, kv_v) flat int8, or (kv_k, kv_v, k_scale, v_scale)
+    packed int4.  Returns (h [B*Q, d] bf16, kvnew [L, B*Q, 2*HD] bf16)."""
     d = x.shape[-1]
     Q = x.shape[1]
     if not 1 < Q * H <= 128:
-        raise ValueError(f"v5mqi4 needs 1 < Q*H <= 128, got Q={Q}, H={H}")
+        raise ValueError(f"multi-query kernels need 1 < Q*H <= 128, "
+                         f"got Q={Q}, H={H}")
     R = B * Q
-
-    bs = block_s if block_s and S % block_s == 0 else S
-    if bs == S and not block_s:
-        for cand in (552, 512, 416, 384, 368, 256):
-            if S % cand == 0:
-                bs = cand
-                break
-    if bs == S:
-        for cand in range(min(S, 640), 63, -8):
-            if S % cand == 0:
-                bs = cand
-                break
+    bs = _pick_block_s(S, block_s)
     NS = S // bs
 
     pool = jnp.asarray(_head_pool_matrix(H, Dh))
@@ -3510,8 +3206,10 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
 
     lag_pj = 1 if NS > 2 else 0
     lag_fc = 2 if NS > 2 else 0
-    kernel = functools.partial(_kernel_v5mqi4, n_layers=L, n_sblk=NS,
-                               bs=bs, H=H, Dh=Dh, Q=Q)
+    kv_specs = ([kv_spec(HD // 2), kv_spec(HD // 2), kv_spec(H),
+                 kv_spec(H)] if int4 else [kv_spec(), kv_spec()])
+    kernel = functools.partial(_kernel_mq, n_layers=L, n_sblk=NS, bs=bs,
+                               H=H, Dh=Dh, Q=Q, int4=int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -3521,8 +3219,7 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
             at_l((d, 4 * d)),                             # wqp
             lagged((d, 4 * d), lag_fc),                   # wfc
             lagged((4 * d, d), lag_pj),                   # wpj
-            kv_spec(HD // 2), kv_spec(HD // 2),           # packed K / V
-            kv_spec(H), kv_spec(H),                       # scale planes
+            *kv_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
             pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
         ],
@@ -3537,7 +3234,7 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
                         pltpu.VMEM((R, HD), jnp.float32),        # acc
                         pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
-    h_out, kvnew = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -3548,9 +3245,66 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
             dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=110 * 1024 * 1024),
     )(nblk, cl, x.reshape(R, d).astype(jnp.bfloat16), packed["vec"],
-      packed["wqp"], packed["wfc"], packed["wpj"], kv_k, kv_v,
-      k_scale, v_scale, pool, poolt)
+      packed["wqp"], packed["wfc"], packed["wpj"], *kv_inputs,
+      pool, poolt)
 
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
+                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                           cache_len, n_head: int, block_s: int = 0
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                      jnp.ndarray]:
+    """Multi-query fused verify step: x [B, Q, d], 1 < Q <= 128 // n_head.
+
+    Same packing/caches as fused_decode_step_v5 (flat [L, B, S, HD] int8);
+    the Q rows attend causally within the chunk and to the prefix below
+    cache_len, and their K/V rows are written back at cache_len — exactly
+    oar_step's multi-row semantics.  Returns (h [B, Q, d], kv_k, kv_v)."""
+    L, B, S, HD = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v5mq requires int8 KV storage"
+    H = n_head
+    Dh = HD // H
+    d = x.shape[-1]
+    Q = x.shape[1]
+
+    h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v), L, B, S, HD, H, Dh,
+                            cache_len, block_s, int4=False)
+    k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0))
+    return h_out.reshape(B, Q, d), kv_k, kv_v
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
+                             kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                             k_scale: jnp.ndarray, v_scale: jnp.ndarray,
+                             cache_len, n_head: int, block_s: int = 0):
+    """Multi-query verify step on the int4 packed cache.
+
+    x [B, Q, d] with 1 < Q*n_head <= 128; caches/scales as
+    fused_decode_step_v5i4.  Returns (h [B, Q, d], kv_k, kv_v, k_scale,
+    v_scale) with the Q new rows quantized and appended at cache_len."""
+    L, B, S, HDp = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "v5mqi4 requires packed int4 storage"
+    H = n_head
+    HD = 2 * HDp
+    Dh = HD // H
+    d = x.shape[-1]
+    Q = x.shape[1]
+
+    h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v, k_scale, v_scale),
+                            L, B, S, HD, H, Dh, cache_len, block_s,
+                            int4=True)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     kp, ks = quantize_kv_int4(k_new, H)
