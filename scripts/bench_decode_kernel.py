@@ -159,6 +159,22 @@ def main():
                 fn = functools.partial(dk.fused_decode_step_v5i4,
                                        batch_block=int(tail) if tail else 0)
                 shape = "i4"                   # packed cache + scale planes
+            elif v.startswith("w4mqi4"):       # W4A8 int4-KV multi-query
+                if not v[6:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected w4mqi4Q)")
+                    continue
+                packed = dk.pack_fused_oar_w4(make_params(L, d, 0))
+                fn = dk.fused_decode_step_w4mqi4
+                shape = "i4"
+                mq = int(v[6:])
+            elif v.startswith("w4mq"):         # W4A8 multi-query, w4mqQ
+                if not v[4:].isdigit():
+                    print(f"B={B} {v}: SKIPPED (expected w4mqQ)")
+                    continue
+                packed = dk.pack_fused_oar_w4(make_params(L, d, 0))
+                fn = dk.fused_decode_step_w4mq
+                shape = (L, B, S, H * Dh)
+                mq = int(v[4:])
             elif v.startswith("w4i4"):         # int4 weights + int4 KV
                 tail = v[6:] if v.startswith("w4i4bb") else ""
                 if v.startswith("w4i4bb") and not tail.isdigit():

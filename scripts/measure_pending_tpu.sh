@@ -19,12 +19,12 @@ timeout 300 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1 \
 
 say "stage 1: kernel grid B=2 (v5 baseline, int4 KV, w4i4, multi-query)"
 timeout 1500 python scripts/bench_decode_kernel.py \
-    --versions v5,v5i4,w4i4,v5mq8,v5mqi48 --b 2 --steps 256 --n 3 \
+    --versions v5,v5i4,w4i4,v5mq8,v5mqi48,w4mq8,w4mqi48 --b 2 --steps 256 --n 3 \
     >> "$LOG" 2>&1
 
 say "stage 2: kernel grid B=4"
 timeout 1500 python scripts/bench_decode_kernel.py \
-    --versions v5,v5i4,w4i4,v5mq8,v5mqi48 --b 4 --steps 256 --n 3 \
+    --versions v5,v5i4,w4i4,v5mq8,v5mqi48,w4mq8,w4mqi48 --b 4 --steps 256 --n 3 \
     >> "$LOG" 2>&1
 
 say "stage 3: short-prefix shape (segment slices)"

@@ -742,3 +742,49 @@ def test_rollout_speculative_guards():
     # allowed: int4 + speculative with fused kernels on
     Rollout(UMGen(ModelConfig(speculative_k=8, oar_cache_dtype="int4",
                               fused_oar_kernel=True)))
+
+
+@pytest.mark.parametrize("Q,cl", [(8, 300), (4, 0)])
+def test_w4mq_interpret_matches_xla(interpret_kernels, Q, cl):
+    """w4mq / w4mqi4 (W4A8 weights, multi-query) vs the un-quantized XLA
+    multi-row step — interpret mode on CPU."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    model = UMGen(cfg)
+    ro = Rollout(model)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16),
+              "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
+    packed = dk.pack_fused_oar_w4(params["oar"])
+    B, S = 2, 512
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(0)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, H, Dh)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, Q, d)), jnp.bfloat16)
+
+    h_ref, _, _ = ro.oar_step(params, x, kv_bf, vv_bf, jnp.int32(cl))
+    a = np.asarray(h_ref, np.float32)
+
+    kv8 = jnp.clip(jnp.round(kv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    vv8 = jnp.clip(jnp.round(vv_bf.astype(jnp.float32) * dk.KV_INT8_SCALE),
+                   -127, 127).astype(jnp.int8).reshape(2, B, S, HD)
+    h_f, _, _ = dk.fused_decode_step_w4mq(packed, x, kv8, vv8,
+                                          jnp.int32(cl), n_head=H)
+    h_f = nn.layer_norm(params["ln_oar"], h_f)
+    b = np.asarray(h_f, np.float32)
+    # int4 group weights add real error (documented envelope)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.12
+
+    kp, ks = dk.quantize_kv_int4(kv_bf.reshape(2, B, S, HD), H)
+    vp, vs = dk.quantize_kv_int4(vv_bf.reshape(2, B, S, HD), H)
+    h_f, _, _, _, _ = dk.fused_decode_step_w4mqi4(
+        packed, x, kp, vp, ks, vs, jnp.int32(cl), n_head=H)
+    h_f = nn.layer_norm(params["ln_oar"], h_f)
+    b = np.asarray(h_f, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.13

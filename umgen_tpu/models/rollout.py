@@ -247,14 +247,16 @@ class Rollout:
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
                 and not cfg.oar_batch_block
                 and "oar_packed" in params
-                and "wqp4" not in params["oar_packed"]
                 and kv_k.ndim == 4 and kv_k.dtype == jnp.int8):
             # multi-query verify chunks (speculative decoding) ride the
-            # fused v5mq kernel: all Q queries share one weight + KV
-            # stream instead of paying the XLA body's per-layer cache
+            # fused v5mq/w4mq kernels: all Q queries share one weight +
+            # KV stream instead of paying the XLA body's per-layer cache
             # relayout/dequant per chunk
             from umgen_tpu.ops import decode_kernel as dk
-            h, kv_k, kv_v = dk.fused_decode_step_v5mq(
+            fused = (dk.fused_decode_step_w4mq
+                     if "wqp4" in params["oar_packed"]
+                     else dk.fused_decode_step_v5mq)
+            h, kv_k, kv_v = fused(
                 params["oar_packed"], x, kv_k, kv_v, cache_len,
                 n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
@@ -341,27 +343,18 @@ class Rollout:
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
                 and not cfg.oar_batch_block
                 and "oar_packed" in params):
-            if "wqp" in params["oar_packed"]:
-                # speculative verify chunks on the int4 cache ride the
-                # fused multi-query kernel — the XLA body below
-                # dequantizes the whole packed prefix per layer per chunk
-                h, kp, vp, ks, vs = fused_decode_step_v5mqi4(
-                    params["oar_packed"], x, kv_k.packed, kv_v.packed,
-                    kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
-                return (nn.layer_norm(params["ln_oar"], h),
-                        PackedKV(kp, ks), PackedKV(vp, vs))
-            if cfg.speculative_k > 0:
-                # W4 packing has no multi-query kernel yet; verify chunks
-                # would dequantize the whole int4 prefix per layer in the
-                # XLA body below — surface it at trace time instead of
-                # silently running pathologically slow
-                import warnings
-                warnings.warn(
-                    "speculative verify chunks with W4-packed weights and "
-                    "the int4 OAR cache fall back to the XLA multi-query "
-                    "body (no w4 multi-query kernel); expect severe "
-                    "slowdown — use int8 weight packing with "
-                    "speculative_k", stacklevel=2)
+            # speculative verify chunks on the int4 cache ride the fused
+            # multi-query kernels — the XLA body below dequantizes the
+            # whole packed prefix per layer per chunk
+            from umgen_tpu.ops.decode_kernel import fused_decode_step_w4mqi4
+            fused = (fused_decode_step_w4mqi4
+                     if "wqp4" in params["oar_packed"]
+                     else fused_decode_step_v5mqi4)
+            h, kp, vp, ks, vs = fused(
+                params["oar_packed"], x, kv_k.packed, kv_v.packed,
+                kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
+            return (nn.layer_norm(params["ln_oar"], h),
+                    PackedKV(kp, ks), PackedKV(vp, vs))
         if cfg.fused_oar_kernel and Q == 1 and "oar_packed" in params:
             fused = (fused_decode_step_w4i4
                      if "wqp4" in params["oar_packed"]

@@ -2978,7 +2978,10 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
 def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                wpj_ref, *rest,
                n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-               Q: int, int4: bool, eps: float = 1e-5):
+               Q: int, int4: bool, w4: bool = False,
+               eps: float = 1e-5):
+    if w4:
+        sc_ref, rest = rest[0], rest[1:]
     if int4:
         (kvk_ref, kvv_ref, ksc_ref, vsc_ref, pool_ref, poolt_ref,
          h_out_ref, kvnew_ref,
@@ -3017,6 +3020,92 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             y = y + b[None, :].astype(jnp.float32)
         return y
 
+    if w4:
+        G = W4_GROUP
+
+        def qdot4(v, w4_ref, sc_row0, n_out, col0=0, b_vec=None):
+            # group-128 int4 weights, per-(input-group, output) scales —
+            # identical math to _kernel_w4.qdot4
+            Kin = v.shape[-1]
+            sa = (jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+                  + 1e-12)
+            aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+            y = jnp.zeros((v.shape[0], n_out), jnp.float32)
+            for j in range(Kin // (2 * G)):
+                blk = w4_ref[0, j * G:(j + 1) * G, col0:col0 + n_out]
+                lo, hi = _unpack_nibbles(blk)
+                a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+                a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+                acc_lo = jax.lax.dot_general(
+                    a_lo, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_hi = jax.lax.dot_general(
+                    a_hi, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                r = sc_row0 + 2 * j
+                s_lo = sc_ref[0, r:r + 1, col0:col0 + n_out]
+                s_hi = sc_ref[0, r + 1:r + 2, col0:col0 + n_out]
+                y = y + acc_lo.astype(jnp.float32) * s_lo \
+                    + acc_hi.astype(jnp.float32) * s_hi
+            y = y * sa
+            if b_vec is not None:
+                y = y + b_vec[None, :].astype(jnp.float32)
+            return y
+
+        def qdot4_pj(v):
+            Kin = v.shape[-1]
+            sa = (jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+                  + 1e-12)
+            aq = jnp.clip(jnp.round(v / sa), -127, 127).astype(jnp.int8)
+            y = jnp.zeros((v.shape[0], d), jnp.float32)
+            for j in range(Kin // (2 * G)):
+                blk = wpj_ref[0, j * G:(j + 1) * G, :]
+                lo, hi = _unpack_nibbles(blk)
+                a_lo = aq[:, (2 * j) * G:(2 * j + 1) * G]
+                a_hi = aq[:, (2 * j + 1) * G:(2 * j + 2) * G]
+                acc_lo = jax.lax.dot_general(
+                    a_lo, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_hi = jax.lax.dot_general(
+                    a_hi, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                g_lo, g_hi = 2 * j, 2 * j + 1
+                rl, rh = 12 + g_lo // 4, 12 + g_hi // 4
+                s_lo = sc_ref[0, rl:rl + 1,
+                              (g_lo % 4) * d:(g_lo % 4 + 1) * d]
+                s_hi = sc_ref[0, rh:rh + 1,
+                              (g_hi % 4) * d:(g_hi % 4 + 1) * d]
+                y = y + acc_lo.astype(jnp.float32) * s_lo \
+                    + acc_hi.astype(jnp.float32) * s_hi
+            return y * sa
+
+        def mm_qkv(a):
+            return qdot4(a, wqp_ref, 0, 3 * d, col0=0,
+                         b_vec=vec_slice("qkv_b"))
+
+        def mm_proj(y):
+            return qdot4(y, wqp_ref, 0, d, col0=3 * d,
+                         b_vec=vec_slice("proj_b"))
+
+        def mm_fc(a2):
+            return qdot4(a2, wfc_ref, 6, 4 * d)
+
+        mm_pj = qdot4_pj
+    else:
+        def mm_qkv(a):
+            return qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
+                        vec_slice("qkv_b"))
+
+        def mm_proj(y):
+            return qdot(y, wqp_ref[0, :, 3 * d:4 * d],
+                        vec_slice("proj_ws"), vec_slice("proj_b"))
+
+        def mm_fc(a2):
+            return qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+
+        def mm_pj(hid):
+            return qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+
     pool = pool_ref[:]                 # [HD, H] f32
     poolt = poolt_ref[:]               # [H, HD] f32
 
@@ -3030,8 +3119,7 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             h_scr[:] = x_ref[:].astype(jnp.float32)
         h = h_scr[:]
         a = layer_norm(h, vec_slice("ln1"))
-        qkv = qdot(a, wqp_ref[0, :, :3 * d], vec_slice("qkv_ws"),
-                   vec_slice("qkv_b"))
+        qkv = mm_qkv(a)
         q = qkv[:, :HD]
         k_new = qkv[:, HD:2 * HD]
         v_new = qkv[:, 2 * HD:]
@@ -3156,14 +3244,13 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                 den_rows.append(dl)
         den_lanes = jnp.concatenate(den_rows, axis=0)    # [R, HD]
         y = acc_scr[:] / den_lanes
-        y = qdot(y, wqp_ref[0, :, 3 * d:4 * d], vec_slice("proj_ws"),
-                 vec_slice("proj_b"))
+        y = mm_proj(y)
         h = (h.astype(jnp.bfloat16) + y.astype(jnp.bfloat16)
              ).astype(jnp.float32)
         a2 = layer_norm(h, vec_slice("ln2"))
-        hid = qdot(a2, wfc_ref[0], vec_slice("fc_ws"))
+        hid = mm_fc(a2)
         hid = _gelu_exact(hid)
-        y2 = qdot(hid, wpj_ref[0], vec_slice("pj_ws"))
+        y2 = mm_pj(hid)
         h = (h.astype(jnp.bfloat16) + y2.astype(jnp.bfloat16)
              ).astype(jnp.float32)
         h_scr[:] = h
@@ -3174,11 +3261,13 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
 
 
 def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
-             block_s, int4):
+             block_s, int4, w4=False):
     """Shared pallas_call plumbing for the multi-query kernels.
 
     kv_inputs: (kv_k, kv_v) flat int8, or (kv_k, kv_v, k_scale, v_scale)
-    packed int4.  Returns (h [B*Q, d] bf16, kvnew [L, B*Q, 2*HD] bf16)."""
+    packed int4; w4 selects group-128 int4 weight blocks (pack_fused_oar_w4)
+    instead of int8 (pack_fused_oar).  Returns (h [B*Q, d] bf16,
+    kvnew [L, B*Q, 2*HD] bf16)."""
     d = x.shape[-1]
     Q = x.shape[1]
     if not 1 < Q * H <= 128:
@@ -3208,17 +3297,27 @@ def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
     lag_fc = 2 if NS > 2 else 0
     kv_specs = ([kv_spec(HD // 2), kv_spec(HD // 2), kv_spec(H),
                  kv_spec(H)] if int4 else [kv_spec(), kv_spec()])
+    if w4:
+        w_specs = [at_l((d // 2, 4 * d)),                 # wqp4
+                   lagged((d // 2, 4 * d), lag_fc),       # wfc4
+                   lagged((2 * d, d), lag_pj),            # wpj4
+                   at_l((18, 4 * d))]                     # scales4
+        w_inputs = (packed["wqp4"], packed["wfc4"], packed["wpj4"],
+                    packed["scales4"])
+    else:
+        w_specs = [at_l((d, 4 * d)),                      # wqp
+                   lagged((d, 4 * d), lag_fc),            # wfc
+                   lagged((4 * d, d), lag_pj)]            # wpj
+        w_inputs = (packed["wqp"], packed["wfc"], packed["wpj"])
     kernel = functools.partial(_kernel_mq, n_layers=L, n_sblk=NS, bs=bs,
-                               H=H, Dh=Dh, Q=Q, int4=int4)
+                               H=H, Dh=Dh, Q=Q, int4=int4, w4=w4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),        # x
             at_l((1, packed["vec"].shape[-1])),           # vec
-            at_l((d, 4 * d)),                             # wqp
-            lagged((d, 4 * d), lag_fc),                   # wfc
-            lagged((4 * d, d), lag_pj),                   # wpj
+            *w_specs,
             *kv_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # pool
             pl.BlockSpec(memory_space=pltpu.VMEM),        # poolt
@@ -3245,8 +3344,7 @@ def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
             dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=110 * 1024 * 1024),
     )(nblk, cl, x.reshape(R, d).astype(jnp.bfloat16), packed["vec"],
-      packed["wqp"], packed["wfc"], packed["wpj"], *kv_inputs,
-      pool, poolt)
+      *w_inputs, *kv_inputs, pool, poolt)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
@@ -3305,6 +3403,72 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
     h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v, k_scale, v_scale),
                             L, B, S, HD, H, Dh, cache_len, block_s,
                             int4=True)
+    k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
+    kp, ks = quantize_kv_int4(k_new, H)
+    vp, vs = quantize_kv_int4(v_new, H)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, kp, (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, vp, (0, 0, cl0, 0))
+    k_scale = jax.lax.dynamic_update_slice(
+        k_scale, ks.astype(k_scale.dtype), (0, 0, cl0, 0))
+    v_scale = jax.lax.dynamic_update_slice(
+        v_scale, vs.astype(v_scale.dtype), (0, 0, cl0, 0))
+    return h_out.reshape(B, Q, d), kv_k, kv_v, k_scale, v_scale
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_w4mq(packed: Params, x: jnp.ndarray,
+                           kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                           cache_len, n_head: int, block_s: int = 0
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                      jnp.ndarray]:
+    """Multi-query verify step with W4A8 weights on the flat int8 cache.
+
+    packed: pack_fused_oar_w4 blocks; otherwise as fused_decode_step_v5mq."""
+    L, B, S, HD = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "w4mq requires int8 KV storage"
+    H = n_head
+    Dh = HD // H
+    d = x.shape[-1]
+    Q = x.shape[1]
+
+    h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v), L, B, S, HD, H, Dh,
+                            cache_len, block_s, int4=False, w4=True)
+    k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
+    v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
+    k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) * KV_INT8_SCALE),
+                     -127, 127)
+    cl0 = jnp.asarray(cache_len, jnp.int32).reshape(())
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_new.astype(kv_k.dtype),
+                                        (0, 0, cl0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_new.astype(kv_v.dtype),
+                                        (0, 0, cl0, 0))
+    return h_out.reshape(B, Q, d), kv_k, kv_v
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+def fused_decode_step_w4mqi4(packed: Params, x: jnp.ndarray,
+                             kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                             k_scale: jnp.ndarray, v_scale: jnp.ndarray,
+                             cache_len, n_head: int, block_s: int = 0):
+    """Multi-query verify step with W4A8 weights on the int4 packed cache.
+
+    packed: pack_fused_oar_w4 blocks; otherwise as
+    fused_decode_step_v5mqi4 (the minimum-bytes speculative config)."""
+    L, B, S, HDp = kv_k.shape
+    assert kv_k.dtype == jnp.int8, "w4mqi4 requires packed int4 storage"
+    H = n_head
+    HD = 2 * HDp
+    Dh = HD // H
+    d = x.shape[-1]
+    Q = x.shape[1]
+
+    h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v, k_scale, v_scale),
+                            L, B, S, HD, H, Dh, cache_len, block_s,
+                            int4=True, w4=True)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     kp, ks = quantize_kv_int4(k_new, H)
