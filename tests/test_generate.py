@@ -159,3 +159,19 @@ def test_merge_rule_revives_objects():
     # dead slots never consult the TAR head, so the TAR-only token 7 can
     # only appear in the alive slot
     assert not np.any(on[1:] == 7)
+
+
+@pytest.mark.parametrize("task,mode", [
+    ("pose_map", "recompute"), ("pose_map", "temporal_cache"),
+    ("pose_map_bbox3d", "temporal_cache")])
+def test_generate_task_subsets(task, mode):
+    """pred_task subsets (ref:infer_fun.py task tables) must roll out in
+    both TAR modes — the bbox control/merge machinery is bbox-task-only."""
+    cfg, model, params = build(task=task, tar_mode=mode)
+    gen = Generator(model, params, seed=0)
+    cond = cond_for(model)
+    out = gen.generate(cond, new_frames=1, cond_frames=3)
+    assert out["pose"].shape == (1, 4, 3)
+    assert out["map"].shape == (1, 4, 1024)
+    assert ("bbox3d" in out) == ("bbox3d" in task)
+    assert "image" not in out

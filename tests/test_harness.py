@@ -102,3 +102,22 @@ def test_cli_config_from_args_int4_guard():
     args = build_parser().parse_args(
         ["--chunked_prefill", "--model_scale", "debug"])
     assert config_from_args(args).chunked_prefill is True
+
+
+def test_batched_run_scenes(tmp_path):
+    """run_scenes stacks video scenes into one batched rollout and still
+    produces per-scene token pkls, resume skips, and metrics."""
+    root = write_synthetic_dataset(str(tmp_path / "data"), n_scenes=3,
+                                   seq_len=60, seed=7)
+    ds = NuPlanTokenDataset(DataConfig(data_root=(root,), block_size=4))
+    model, runner = build_runner(tmp_path, num_new_frames=1, cond_frames=4,
+                                 input_cond_frames=3)
+    outs = runner.run_scenes([ds[0], ds[1], ds[2]], pad_to=2)
+    assert len(outs) == 3
+    for o in outs:
+        assert o["pose"].shape == (1, 4, 3)
+    assert len(os.listdir(runner.token_save_path)) == 3
+    # one batched timing entry covering all three scenes
+    assert runner.timings[-1]["scene"] == "batch[3]"
+    # resume: a second call skips everything
+    assert runner.run_scenes([ds[0], ds[1], ds[2]]) == []

@@ -112,3 +112,43 @@ def test_cached_rollout_sharded_matches_unsharded(setup):
     for m in model_c.layout.mod_order:
         agree = (out[m][:, 3:] == ref[m][:, 3:]).mean()
         assert agree >= 0.995, (m, agree)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_shard_map_dp_rollout_matches_unsharded(setup, chunked):
+    """spmd="shard_map" serving: the cached rollout under an explicit
+    dp=2 per-device program (the only way the fused Pallas kernels scale
+    out) must reproduce the single-device greedy stream."""
+    cfg, model, params = setup
+    from dataclasses import replace
+    cfg_c = replace(cfg, tar_mode="temporal_cache",
+                    chunked_prefill=chunked)
+    model_c = UMGen(cfg_c)
+
+    cond = make_token_batch(model_c.layout, T=3, B=4, seed=4, config=cfg_c)
+    ref = Generator(model_c, params, seed=0).generate(
+        cond, new_frames=2, cond_frames=3, input_cond_frames=3)
+
+    mesh = make_mesh(dp=2, tp=1)
+    with mesh:
+        gen = Generator(model_c, params, seed=0, mesh=mesh,
+                        spmd="shard_map")
+        out = gen.generate(cond, new_frames=2, cond_frames=3,
+                           input_cond_frames=3)
+    for m in model_c.layout.mod_order:
+        agree = (out[m][:, 3:] == ref[m][:, 3:]).mean()
+        assert agree >= 0.995, (m, agree)
+
+
+def test_shard_map_guards(setup):
+    cfg, model, params = setup
+    from dataclasses import replace
+    mesh = make_mesh(dp=2, tp=2)
+    with pytest.raises(ValueError, match="tp=1"):
+        Generator(UMGen(replace(cfg, tar_mode="temporal_cache")), params,
+                  mesh=mesh, spmd="shard_map")
+    with pytest.raises(ValueError, match="temporal_cache"):
+        Generator(model, params, mesh=make_mesh(dp=2, tp=1),
+                  spmd="shard_map")
+    with pytest.raises(ValueError, match="mesh"):
+        Generator(model, params, spmd="shard_map")

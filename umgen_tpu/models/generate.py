@@ -32,17 +32,39 @@ Params = Dict[str, Any]
 
 class Generator:
     def __init__(self, model: UMGen, params: Params, seed: int = 0,
-                 donate_kv: bool = True, mesh=None):
+                 donate_kv: bool = True, mesh=None, spmd: str = "gspmd"):
         """mesh: optional `jax.sharding.Mesh` with ("dp", "tp") axes for
         multi-chip rollouts — scenes shard over dp, attention heads and the
         TAR rings over tp.  Pass params already placed via
         `parallel.mesh.shard_params`; raw numpy conditioning is sharded
-        here per frame."""
+        here per frame.
+
+        spmd: "gspmd" (default) relies on XLA sharding propagation from
+        the mesh annotations — the XLA decode path.  "shard_map" wraps the
+        cached frame step in an explicit per-device program with scenes
+        split over dp: this is the ONLY way the fused Pallas decode
+        kernels scale out (GSPMD cannot partition a custom call — it
+        replicates the whole cache per chip), and requires
+        tar_mode="temporal_cache", tp == 1 and batch % dp == 0.  Params
+        must be fully replicated across the mesh."""
         self.model = model
         self.params = params
         self.rollout = Rollout(model)
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = mesh
+        if spmd not in ("gspmd", "shard_map"):
+            raise ValueError(f"spmd must be gspmd|shard_map, got {spmd}")
+        if spmd == "shard_map":
+            if mesh is None:
+                raise ValueError("spmd='shard_map' requires a mesh")
+            if mesh.shape.get("tp", 1) != 1:
+                raise ValueError(
+                    "spmd='shard_map' serving is dp-only (the fused "
+                    "kernels run whole-head-set per chip); use tp=1")
+            if model.config.tar_mode != "temporal_cache":
+                raise ValueError(
+                    "spmd='shard_map' requires tar_mode='temporal_cache'")
+        self.spmd = spmd
         self._step_cache: Dict[Any, Any] = {}
         # cumulative speculative-decode telemetry across generated frames
         # (meaningful when config.speculative_k > 0; see FrameOutputs)
@@ -78,6 +100,85 @@ class Generator:
             return dev_inputs
         from umgen_tpu.parallel.mesh import shard_batch
         return shard_batch(dev_inputs, self.mesh)
+
+    def _sm_cached_fns(self):
+        """shard_map'd cached-mode step functions (explicit dp scene
+        split).  The fused Pallas decode kernels are opaque custom calls
+        to GSPMD, so multi-chip serving with them needs this per-device
+        program: every chip runs the whole fused stack on its own scene
+        shard; the only cross-chip traffic is the telemetry psum."""
+        fns = self._step_cache.get("sm")
+        if fns is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from umgen_tpu.models.rollout import FrameOutputs
+
+            mesh, ro, model = self.mesh, self.rollout, self.model
+            mods = model.layout.mod_order
+            cspec = model.tar_cache_pspecs("dp")
+            rspec = FrameOutputs(tokens=P("dp"), pose_tokens=P("dp"),
+                                 spec_chunks=P(), spec_accepted=P())
+            dspec = {m: P("dp") for m in mods}
+            sm = functools.partial(shard_map, mesh=mesh, check_vma=False)
+            ov_specs = {"": (), "p": (P("dp"),), "pb": (P("dp"), P("dp"))}
+
+            def dp_rng(rng):
+                # distinct sampling noise per scene shard — a replicated
+                # key would correlate same-local-row scenes across chips
+                return jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+
+            def tele(res):
+                return res._replace(
+                    spec_chunks=jax.lax.psum(res.spec_chunks, "dp"),
+                    spec_accepted=jax.lax.psum(res.spec_accepted, "dp"))
+
+            def kw_of(variant, ov):
+                kw = {}
+                if variant in ("p", "pb"):
+                    kw["pose_override"] = ov[0]
+                if variant == "pb":
+                    kw["control_bbox"] = ov[1]
+                return kw
+
+            def make(fn, variant, n_state):
+                # n_state: trailing state args before the override args —
+                # prefill: (rng,), cached step: (cache, rng)
+                def body(params, x, *rest):
+                    state, ov = rest[:n_state], rest[n_state:]
+                    res, cache = fn(params, x, *state[:-1],
+                                    dp_rng(state[-1]),
+                                    **kw_of(variant, ov))
+                    return tele(res), cache
+
+                n_cache = n_state - 1
+                in_specs = ((P(), dspec) + (cspec,) * n_cache + (P(),)
+                            + ov_specs[variant])
+                f = sm(body, in_specs=in_specs, out_specs=(rspec, cspec))
+                return jax.jit(f, donate_argnums=(2,) if n_cache else ())
+
+            def ingest_body(params, frame_t, pose_next, cache):
+                return ro.ingest_frame(params, frame_t, pose_next, cache)
+
+            ingest = jax.jit(sm(
+                ingest_body,
+                in_specs=(P(), dspec, P("dp"), cspec),
+                out_specs=cspec), donate_argnums=(3,))
+
+            dp = mesh.shape["dp"]
+
+            def cache_init(B0):
+                if B0 % dp:
+                    raise ValueError(f"batch {B0} must divide dp={dp}")
+                return jax.jit(sm(lambda: model.init_tar_cache(B0 // dp),
+                                  in_specs=(), out_specs=cspec))()
+
+            fns = {"ingest": ingest, "cache_init": cache_init}
+            for v in ("", "p", "pb"):
+                fns["prefill" + v] = make(ro.frame_step_prefill, v, 1)
+                fns["step" + v] = make(ro.frame_step_cached, v, 2)
+            self._step_cache["sm"] = fns
+        return fns
 
     def _step_fn(self, variant: str):
         fn = self._step_cache.get(variant)
@@ -211,9 +312,43 @@ class Generator:
 
         # prefill creates the rings; the steady-state step donates them so
         # input/output copies never coexist (the rings are multi-GB)
-        prefill = jax.jit(self._constrained(self.rollout.frame_step_prefill))
-        step_fn = jax.jit(self._constrained(self.rollout.frame_step_cached),
-                          donate_argnums=(2,))
+        if self.spmd == "shard_map":
+            sm = self._sm_cached_fns()
+
+            def call_prefill(p, inp, rng, pose_override=None,
+                             control_bbox=None):
+                if control_bbox is not None:
+                    return sm["prefillpb"](p, inp, rng, pose_override,
+                                           control_bbox)
+                if pose_override is not None:
+                    return sm["prefillp"](p, inp, rng, pose_override)
+                return sm["prefill"](p, inp, rng)
+
+            def call_step(p, newest, cache, rng, pose_override=None,
+                          control_bbox=None):
+                if control_bbox is not None:
+                    return sm["steppb"](p, newest, cache, rng,
+                                        pose_override, control_bbox)
+                if pose_override is not None:
+                    return sm["stepp"](p, newest, cache, rng, pose_override)
+                return sm["step"](p, newest, cache, rng)
+        else:
+            prefill = jax.jit(
+                self._constrained(self.rollout.frame_step_prefill))
+            step_jit = jax.jit(
+                self._constrained(self.rollout.frame_step_cached),
+                donate_argnums=(2,))
+
+            def call_prefill(p, inp, rng, pose_override=None,
+                             control_bbox=None):
+                return prefill(p, inp, rng, pose_override=pose_override,
+                               control_bbox=control_bbox)
+
+            def call_step(p, newest, cache, rng, pose_override=None,
+                          control_bbox=None):
+                return step_jit(p, newest, cache, rng,
+                                pose_override=pose_override,
+                                control_bbox=control_bbox)
 
         frames = range(new_frames)
         if progress:
@@ -245,31 +380,36 @@ class Generator:
                 if self.model.config.chunked_prefill and T0 > 1:
                     # frame-by-frame ring ingestion: peak memory is one
                     # frame's activations, not the [B, T, S, D] window
-                    ingest = jax.jit(self._constrained_cache(
-                        self.rollout.ingest_frame), donate_argnums=(3,))
                     B0 = dev_inputs["pose"].shape[0]
-                    cache = jax.jit(
-                        self._constrained_cache(
-                            lambda: self.model.init_tar_cache(B0)))()
+                    if self.spmd == "shard_map":
+                        ingest = sm["ingest"]
+                        cache = sm["cache_init"](B0)
+                    else:
+                        ingest = jax.jit(self._constrained_cache(
+                            self.rollout.ingest_frame), donate_argnums=(3,))
+                        cache = jax.jit(
+                            self._constrained_cache(
+                                lambda: self.model.init_tar_cache(B0)))()
                     for t in range(T0 - 1):
                         frame_t = {m: dev_inputs[m][:, t:t + 1]
                                    for m in mods}
                         cache = ingest(self.params, frame_t,
                                        dev_inputs["pose"][:, t + 1], cache)
                     last = {m: dev_inputs[m][:, T0 - 1:] for m in mods}
-                    res, cache = step_fn(self.params, last, cache,
-                                         step_rng,
-                                         pose_override=pose_override,
-                                         control_bbox=control_bbox)
+                    res, cache = call_step(self.params, last, cache,
+                                           step_rng,
+                                           pose_override=pose_override,
+                                           control_bbox=control_bbox)
                 else:
-                    res, cache = prefill(self.params, dev_inputs,
-                                         step_rng,
-                                         pose_override=pose_override,
-                                         control_bbox=control_bbox)
+                    res, cache = call_prefill(self.params, dev_inputs,
+                                              step_rng,
+                                              pose_override=pose_override,
+                                              control_bbox=control_bbox)
             else:
-                res, cache = step_fn(self.params, newest, cache, step_rng,
-                                     pose_override=pose_override,
-                                     control_bbox=control_bbox)
+                res, cache = call_step(self.params, newest, cache,
+                                       step_rng,
+                                       pose_override=pose_override,
+                                       control_bbox=control_bbox)
 
             tokens = np.asarray(jax.device_get(res.tokens))
             self.spec_chunks += int(res.spec_chunks)

@@ -732,7 +732,7 @@ class Rollout:
 
         # ---- control slot setup (ref:UMGen.py:1457-1475) ----
         control_mask = jnp.zeros((B, 61), bool)
-        if control_bbox is not None:
+        if control_bbox is not None and "bbox3d" in shifted:
             valid = control_bbox != -1                       # [B, 660]
             shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(
                 jnp.where(valid, control_bbox, shifted["bbox3d"][:, -1]))
@@ -742,8 +742,9 @@ class Rollout:
         # ---- step 2: TAR cascade → per-position priors ----
         priors = model.tar_priors(params, shifted)
         return self._finish_frame(params, priors["prior_seq"], ego_tokens,
-                                  shifted["bbox3d"][:, -1], control_mask,
-                                  rng)
+                                  shifted["bbox3d"][:, -1]
+                                  if "bbox3d" in shifted else None,
+                                  control_mask, rng)
 
     def _finish_frame(self, params: Params, prior_seq: jnp.ndarray,
                       ego_tokens: jnp.ndarray,
@@ -760,20 +761,22 @@ class Rollout:
         # prepending the task embedding, so priors align with input indices,
         # ref:UMGen.py:1215-1231); equivalently: input_prior[k] =
         # prior_seq[k] for k < seq_len.
-        bseg = lo.segment("bbox3d")
-        bbox_prior = jax.lax.slice_in_dim(prior_seq, bseg.start,
-                                          bseg.content_end, axis=1)
-        if cfg.n_step > 1:
-            # multi-step head: inference uses the step-0 vocab slice
-            # (ref:UMGen.py:1098-1101); slice the weight COLUMNS so the
-            # matmul only computes the slice it keeps
-            tar_box_logits = nn.linear(
-                nn.slice_linear_out(params["head_tar_n_step_bbox3d"],
-                                    cfg.bbox3d_vocab_size),
-                bbox_prior)
-        else:
-            tar_box_logits = nn.linear(
-                params["head_tar_bbox3d"], bbox_prior)  # [B, 660, 1028]
+        tar_box_logits = None
+        if any(s.mod == "bbox3d" for s in lo.segments):
+            bseg = lo.segment("bbox3d")
+            bbox_prior = jax.lax.slice_in_dim(prior_seq, bseg.start,
+                                              bseg.content_end, axis=1)
+            if cfg.n_step > 1:
+                # multi-step head: inference uses the step-0 vocab slice
+                # (ref:UMGen.py:1098-1101); slice the weight COLUMNS so
+                # the matmul only computes the slice it keeps
+                tar_box_logits = nn.linear(
+                    nn.slice_linear_out(params["head_tar_n_step_bbox3d"],
+                                        cfg.bbox3d_vocab_size),
+                    bbox_prior)
+            else:
+                tar_box_logits = nn.linear(
+                    params["head_tar_bbox3d"], bbox_prior)  # [B, 660, 1028]
 
         # ---- step 3: OAR decode ----
         kv_k, kv_v = self.init_kv(B)
@@ -915,9 +918,13 @@ class Rollout:
         shifted = dict(inputs)
         shifted["pose"] = jnp.concatenate(
             [inputs["pose"], ego_tokens[:, None, :]], axis=1)[:, 1:]
-        last_bbox, control_mask = self._control_setup(
-            shifted["bbox3d"][:, -1], control_bbox, B)
-        shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(last_bbox)
+        if "bbox3d" in shifted:
+            last_bbox, control_mask = self._control_setup(
+                shifted["bbox3d"][:, -1], control_bbox, B)
+            shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(last_bbox)
+        else:
+            last_bbox = None
+            control_mask = jnp.zeros((B, 61), bool)
 
         pri = model.prefill_tar_caches(params, shifted, cache)
         cache = pri["cache"]
@@ -975,11 +982,15 @@ class Rollout:
         else:
             ego_tokens = pose_override
 
-        last_bbox, control_mask = self._control_setup(
-            newest_frame["bbox3d"][:, 0], control_bbox, B)
         shifted_frame = dict(newest_frame)
         shifted_frame["pose"] = ego_tokens[:, None, :]
-        shifted_frame["bbox3d"] = last_bbox[:, None, :]
+        if "bbox3d" in newest_frame:
+            last_bbox, control_mask = self._control_setup(
+                newest_frame["bbox3d"][:, 0], control_bbox, B)
+            shifted_frame["bbox3d"] = last_bbox[:, None, :]
+        else:
+            last_bbox = None
+            control_mask = jnp.zeros((B, 61), bool)
 
         pri = model.tar_priors_cached(params, shifted_frame, cache,
                                       abs_frame)

@@ -199,11 +199,14 @@ class UMGen:
                                                    False, dt)
             params["img_mlp_pre"] = nn.init_mlp(nk(), cfg.n_img_embd, False,
                                                 dt, d_hidden=4 * d, d_out=d)
-            if cfg.split_box_tar:
-                params["box_tar"] = nn.init_stack(nk(), cfg.n_box_tar_layer,
-                                                  nn.init_block_tar, d,
-                                                  cfg.bias, dt)
-                params["ln_box_tar"] = nn.init_layernorm(d, dt)
+        if cfg.split_box_tar and "bbox3d" in self.layout.mod_order:
+            # gated by the split flag alone in the reference
+            # (ref:UMGen.py:237-239); the bbox refinement TAR exists for
+            # every bbox-bearing task, not only the image task
+            params["box_tar"] = nn.init_stack(nk(), cfg.n_box_tar_layer,
+                                              nn.init_block_tar, d,
+                                              cfg.bias, dt)
+            params["ln_box_tar"] = nn.init_layernorm(d, dt)
         params["buffers"] = buffers if buffers is not None else \
             build_buffers(cfg)
         return params
@@ -492,6 +495,23 @@ class UMGen:
                 dt = jnp.dtype(cfg.tar_cache_dtype)
                 shape = (L, B * S, T_max, cfg.n_head, cfg.head_dim)
                 cache[name] = (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        return cache
+
+    def tar_cache_pspecs(self, axis: str = "dp"):
+        """PartitionSpec pytree matching init_tar_cache's structure, for
+        shard_map'd serving: rings shard their scene-major dim over `axis`
+        (dim 1 of [L, B*S, T, H, Dh] is B-major, so a split along it is a
+        scene split), the frame counter is replicated.  Kept adjacent to
+        init_tar_cache — the two must evolve together."""
+        from jax.sharding import PartitionSpec as P
+        cache: Dict[str, Any] = {"frames": P()}
+        ring = P(None, axis, None, None, None)
+        for name, _, _ in self._stack_names():
+            if self._ring_q4:
+                cache[name] = (ring, ring, P(None, axis, None, None),
+                               P(None, axis, None, None))
+            else:
+                cache[name] = (ring, ring)
         return cache
 
     @staticmethod

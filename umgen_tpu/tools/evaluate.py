@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "shares weight fetches across groups so the kernel "
                    "fits VMEM at large B — use 2 or 4 for B=8; 0 = whole "
                    "batch)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel chips for serving: scenes split "
+                   "over a dp-mesh via an explicit shard_map program "
+                   "(the fused kernels are opaque to GSPMD), params "
+                   "replicated.  batch_size must be a multiple of dp")
     return p
 
 
@@ -218,7 +223,19 @@ def main(argv: Optional[list] = None) -> int:
         print(f"no scenes found under {data_root}; use --synthetic_data N")
         return 1
 
-    gen = Generator(model, params, seed=args.seed)
+    if args.dp > 1:
+        if dcfg.control_test:
+            raise SystemExit("--dp > 1 batches video scenes; control mode "
+                             "runs per-scene (per-scene init dicts)")
+        if args.batch_size % args.dp:
+            raise SystemExit(f"--batch_size {args.batch_size} must be a "
+                             f"multiple of --dp {args.dp}")
+        from umgen_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=1)
+        gen = Generator(model, params, seed=args.seed, mesh=mesh,
+                        spmd="shard_map")
+    else:
+        gen = Generator(model, params, seed=args.seed)
     runner = SceneRunner(gen, infer_cfg, output_path=args.output_path,
                          pipeline=pipeline, map_decoder=map_dec,
                          image_decoder=image_dec,
@@ -229,11 +246,19 @@ def main(argv: Optional[list] = None) -> int:
 
     n = len(dataset) if args.max_scenes < 0 else min(args.max_scenes,
                                                      len(dataset))
+    group = []
     for i in range(n):
         batch = dataset[i]
         if batch is None:
             continue
-        runner.run_scene(batch, control_test=dcfg.control_test)
+        group.append(batch)
+        if len(group) >= max(args.batch_size, 1):
+            runner.run_scenes(group, control_test=dcfg.control_test,
+                              pad_to=args.dp)
+            group = []
+    if group:
+        runner.run_scenes(group, control_test=dcfg.control_test,
+                          pad_to=args.dp)
 
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -106,6 +106,75 @@ class SceneRunner:
                              "seconds": dt,
                              "frames_per_sec": new_frames / dt})
 
+        self._postprocess(out, gt, file_name, input_cond)
+        return out
+
+    # ------------------------------------------------------------------
+    def run_scenes(self, batches, control_test: bool = False,
+                   pad_to: int = 1):
+        """Batched multi-scene rollout: stack the scenes on the batch axis
+        and run ONE generate() call (the per-chip scene batch is the
+        throughput lever — see bench.py), then save/decode/render each
+        scene.  Control batches carry per-scene init dicts and fall back
+        to the per-scene path.  pad_to > 1 pads the batch by repeating the
+        last scene so a dp mesh divides it (padding outputs discarded)."""
+        if control_test or (len(batches) == 1 and pad_to <= 1):
+            return [self.run_scene(b, control_test) for b in batches]
+
+        mods = self.gen.model.layout.mod_order
+        todo = []
+        for b in batches:
+            file_name = os.path.basename(
+                str(b.get("file_name", "scene"))).replace(".pkl", "")
+            if os.path.exists(os.path.join(self.token_save_path,
+                                           f"{file_name}_tokens.pkl")):
+                print(f"{file_name} has been processed")
+                continue
+            todo.append((file_name, b))
+        if not todo:
+            return []
+
+        input_cond = self.cfg.input_cond_frames
+        T0 = min(np.asarray(b["pose"]).shape[0 if np.asarray(
+            b["pose"]).ndim == 2 else 1] for _, b in todo)
+        cond = {}
+        for m in mods:
+            rows = []
+            for _, b in todo:
+                arr = np.asarray(b[m])
+                if arr.ndim == 2:
+                    arr = arr[None]
+                rows.append(arr[:, :T0].astype(np.int64))
+            cond[m] = np.concatenate(rows, axis=0)
+        n_pad = (-len(todo)) % pad_to
+        if n_pad:
+            cond = {m: np.concatenate(
+                [v] + [v[-1:]] * n_pad, axis=0) for m, v in cond.items()}
+
+        new_frames = self.cfg.num_new_frames
+        if new_frames == -1:
+            new_frames = T0 - input_cond
+
+        t0 = time.perf_counter()
+        out = self.gen.generate(cond, new_frames=new_frames,
+                                cond_frames=self.cfg.cond_frames,
+                                input_cond_frames=input_cond,
+                                progress=True)
+        dt = time.perf_counter() - t0
+        self.timings.append({"scene": f"batch[{len(todo)}]",
+                             "frames": new_frames, "seconds": dt,
+                             "frames_per_sec": len(todo) * new_frames / dt})
+
+        outs = []
+        for i, (file_name, b) in enumerate(todo):
+            per = {m: out[m][i:i + 1] for m in mods}
+            self._postprocess(per, b, file_name, input_cond)
+            outs.append(per)
+        return outs
+
+    # ------------------------------------------------------------------
+    def _postprocess(self, out, gt, file_name: str, input_cond: int):
+        """Per-scene token save, detokenize, metrics, video."""
         self.save_tokens(out, file_name)
         try:
             decoded = self.decode_tokens(out)
@@ -117,7 +186,12 @@ class SceneRunner:
                                    "undecoded_token.txt"), "a") as f:
                 f.write(file_name + "\n")
             print(f"decode failed for {file_name}: {e}")
-            return out
+            return
+        if "bbox3d" not in out:      # agent-free task: no agent metrics
+            if self.save_video:
+                self.render_video(decoded, file_name,
+                                  cond_frames=input_cond)
+            return
         # MMD between generated frames and the GT continuation when the
         # clip is long enough (the paper's agent-realism metric)
         gt_bbox = np.asarray(gt["bbox3d"])
@@ -137,7 +211,6 @@ class SceneRunner:
         if self.save_video:
             self.render_video(decoded, file_name,
                               cond_frames=input_cond)
-        return out
 
     # ------------------------------------------------------------------
     def save_tokens(self, out_tokens: Dict[str, np.ndarray],
@@ -151,8 +224,14 @@ class SceneRunner:
         """Token streams → metric boxes, pose values, decoded rasters
         (ref:model_pl.py:357-457)."""
         res: Dict = {}
-        boxes, cats, valid = self.pipeline.decode_bboxes(
-            out_tokens["bbox3d"][0])
+        T = out_tokens["pose"].shape[1]
+        if "bbox3d" in out_tokens:
+            boxes, cats, valid = self.pipeline.decode_bboxes(
+                out_tokens["bbox3d"][0])
+        else:                        # agent-free tasks (e.g. pose_map)
+            boxes = np.zeros((T, 0, 10), np.float32)
+            cats = np.zeros((T, 0), np.int32)
+            valid = np.zeros((T, 0), bool)
         res["boxes"], res["cat_ids"], res["valid"] = boxes, cats, valid
         res["pose"] = self.pipeline.decode_pose(out_tokens["pose"][0])
         if self.map_decoder is not None and "map" in out_tokens:
