@@ -92,3 +92,35 @@ class TestTorchParity:
         # nearest-code assignment can differ on exact ties; demand >=99%
         agree = (idx_ours.reshape(-1) == idx_ref.numpy().reshape(-1)).mean()
         assert agree >= 0.99, agree
+
+
+def test_train_vq_driver(tmp_path):
+    """The VQ training driver (the reference ships pretrained codecs only):
+    loss must fall, and the saved checkpoint must load into the inference
+    decode path."""
+    import jax
+
+    from umgen_tpu.models import vq
+    from umgen_tpu.runtime import checkpoint as ckpt
+    from umgen_tpu.tools.train_vq import main
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--target", "map", "--steps", "12", "--batch_size", "2",
+                   "--res", "32", "--ch", "32", "--n_embed", "32",
+                   "--ckpt_dir", str(tmp_path), "--log_every", "4"])
+    assert rc == 0
+    lines = [ln for ln in buf.getvalue().splitlines() if "loss=" in ln]
+    first = float(lines[0].split("loss=")[1].split()[0])
+    last = float(lines[-1].split("loss=")[1].split()[0])
+    assert last < first, (first, last)
+
+    import dataclasses as dc
+    cfg = dc.replace(vq.MAP_VQ, resolution=32, ch=32, n_embed=32)
+    params = ckpt.load_params(str(tmp_path / "map_final"),
+                              like=vq.init_normvq(jax.random.PRNGKey(0),
+                                                  cfg))
+    idx = jax.numpy.zeros((1, 4, 4), jax.numpy.int32)
+    img = vq.decode_code(params, cfg, idx)
+    assert img.shape == (1, 32, 32, 5)
