@@ -1169,7 +1169,7 @@ def fused_decode_step_v4(packed: Params, x: jnp.ndarray,
 def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                wpj_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
                h_out_ref, kvnew_ref,
-               h_scr, qp_scr, m_scr, den_scr, acc_scr,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
                n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
@@ -1231,7 +1231,9 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            den_scr[b:b + 1, 120:121] = sq[None, None]
+            # replicate the scalar across H lanes: the read side then only
+            # needs a sublane broadcast (Mosaic rejects (1,1)->(bs,H))
+            sq_scr[b:b + 1, :H] = jnp.full((1, H), sq, jnp.float32)
         sl_all = jax.lax.dot_general(
             (k_new * q).astype(jnp.float32), pool,
             (((1,), (0,)), ((), ())),
@@ -1250,12 +1252,12 @@ def _kernel_v5(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         kmat = kvk_ref[0, bb]                            # [bs, HD] i8
         vmat = kvv_ref[0, bb]
         qp_i8 = qp_scr[pl.ds(rb * HD, HD), :H].astype(jnp.int8)
-        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
+        sqv = sq_scr[pl.ds(rb, 1), :H]                   # [1, H]
         li = jax.lax.dot_general(kmat, qp_i8,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         logits = (li.astype(jnp.float32)
-                  * (sq * (scale / KV_INT8_SCALE)))      # [bs, H]
+                  * (sqv * (scale / KV_INT8_SCALE)))     # [bs, H]
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -1438,8 +1440,9 @@ def fused_decode_step_v5(packed: Params, x: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
                         pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
                         pltpu.VMEM((B, 128), jnp.float32),       # m
-                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
-                        pltpu.VMEM((B, HD), jnp.float32)],       # acc
+                        pltpu.VMEM((B, 128), jnp.float32),       # den
+                        pltpu.VMEM((B, HD), jnp.float32),        # acc
+                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
     h_out, kvnew = pl.pallas_call(
         kernel,
@@ -1494,6 +1497,7 @@ def _kernel_v6(cl_pref, x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
                kvk_ref, kvv_ref, pool_ref, poolt_ref,
                h_out_ref, kwin_ref, vwin_ref,
                h_scr, qp_scr, m_scr, den_scr, acc_scr, krow_scr, vrow_scr,
+               sq_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
                eps: float = 1e-5):
     l = pl.program_id(0)
@@ -1548,7 +1552,9 @@ def _kernel_v6(cl_pref, x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            den_scr[b:b + 1, 120:121] = sq[None, None]
+            # replicate the scalar across H lanes: the read side then only
+            # needs a sublane broadcast (Mosaic rejects (1,1)->(bs,H))
+            sq_scr[b:b + 1, :H] = jnp.full((1, H), sq, jnp.float32)
         sl_all = jax.lax.dot_general(
             (k_new * q).astype(jnp.float32), pool,
             (((1,), (0,)), ((), ())),
@@ -1577,12 +1583,12 @@ def _kernel_v6(cl_pref, x_ref, vec_ref, wqp_ref, wfc_ref, wpj_ref,
         kmat = kvk_ref[0, b]                             # [bs, HD] i8
         vmat = kvv_ref[0, b]
         qp_i8 = qp_scr[b * HD:(b + 1) * HD, :H].astype(jnp.int8)
-        sq = den_scr[b, 120]
+        sqv = sq_scr[b:b + 1, :H]                        # [1, H]
         li = jax.lax.dot_general(kmat, qp_i8,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         logits = (li.astype(jnp.float32)
-                  * (sq * scale / KV_INT8_SCALE))        # [bs, H]
+                  * (sqv * (scale / KV_INT8_SCALE)))     # [bs, H]
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[b:b + 1, :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -1706,10 +1712,11 @@ def fused_decode_step_v6(packed: Params, x: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
                         pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
                         pltpu.VMEM((B, 128), jnp.float32),       # m
-                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
+                        pltpu.VMEM((B, 128), jnp.float32),       # den
                         pltpu.VMEM((B, HD), jnp.float32),        # acc
                         pltpu.VMEM((B, HD), jnp.int8),           # k row
-                        pltpu.VMEM((B, HD), jnp.int8)],          # v row
+                        pltpu.VMEM((B, HD), jnp.int8),           # v row
+                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
 
     h_out, kv_k, kv_v = pl.pallas_call(
@@ -1823,7 +1830,7 @@ def _unpack_nibbles(b):
 def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                wpj_ref, sc_ref, kvk_ref, kvv_ref, pool_ref, poolt_ref,
                h_out_ref, kvnew_ref,
-               h_scr, qp_scr, m_scr, den_scr, acc_scr,
+               h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
                *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
                n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
@@ -1933,7 +1940,9 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            den_scr[b:b + 1, 120:121] = sq[None, None]
+            # replicate the scalar across H lanes: the read side then only
+            # needs a sublane broadcast (Mosaic rejects (1,1)->(bs,H))
+            sq_scr[b:b + 1, :H] = jnp.full((1, H), sq, jnp.float32)
         sl_all = jax.lax.dot_general(
             (k_new * q).astype(jnp.float32), pool,
             (((1,), (0,)), ((), ())),
@@ -1951,12 +1960,12 @@ def _kernel_w4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         kmat = kvk_ref[0, bb]
         vmat = kvv_ref[0, bb]
         qp_i8 = qp_scr[pl.ds(rb * HD, HD), :H].astype(jnp.int8)
-        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
+        sqv = sq_scr[pl.ds(rb, 1), :H]                   # [1, H]
         li = jax.lax.dot_general(kmat, qp_i8,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         logits = (li.astype(jnp.float32)
-                  * (sq * (scale / KV_INT8_SCALE)))
+                  * (sqv * (scale / KV_INT8_SCALE)))
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -2078,7 +2087,8 @@ def fused_decode_step_w4(packed: Params, x: jnp.ndarray,
                         pltpu.VMEM((B * HD, 128), jnp.float32),
                         pltpu.VMEM((B, 128), jnp.float32),
                         pltpu.VMEM((B, 128), jnp.float32),
-                        pltpu.VMEM((B, HD), jnp.float32)],
+                        pltpu.VMEM((B, HD), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
     h_out, kvnew = pl.pallas_call(
         kernel,
@@ -2398,7 +2408,7 @@ def fused_decode_step_v7(packed: Params, x: jnp.ndarray,
 def _kernel_v5i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                  wpj_ref, kvk_ref, kvv_ref, ksc_ref, vsc_ref,
                  pool_ref, poolt_ref, h_out_ref, kvnew_ref,
-                 h_scr, qp_scr, m_scr, den_scr, acc_scr,
+                 h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
                  *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
                  n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
@@ -2456,7 +2466,9 @@ def _kernel_v5i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            den_scr[b:b + 1, 120:121] = sq[None, None]
+            # replicate the scalar across H lanes: the read side then only
+            # needs a sublane broadcast (Mosaic rejects (1,1)->(bs,H))
+            sq_scr[b:b + 1, :H] = jnp.full((1, H), sq, jnp.float32)
         sl_all = jax.lax.dot_general(
             (k_new * q).astype(jnp.float32), pool,
             (((1,), (0,)), ((), ())),
@@ -2477,12 +2489,12 @@ def _kernel_v5i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         vs = vsc_ref[0, bb]
         qp_lo = qp_scr[pl.ds(rb * HD, HDh), :H].astype(jnp.int8)
         qp_hi = qp_scr[pl.ds(rb * HD + HDh, HDh), :H].astype(jnp.int8)
-        sq = den_scr[pl.ds(rb, 1), 120:121]              # [1, 1]
+        sqv = sq_scr[pl.ds(rb, 1), :H]                   # [1, H]
         li = (jax.lax.dot_general(klo, qp_lo, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
               + jax.lax.dot_general(khi, qp_hi, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32))
-        logits = li.astype(jnp.float32) * ks * (sq * (scale / 7.0))
+        logits = li.astype(jnp.float32) * ks * (sqv * (scale / 7.0))
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -2628,8 +2640,9 @@ def fused_decode_step_v5i4(packed: Params, x: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((B, d), jnp.float32),         # h
                         pltpu.VMEM((B * HD, 128), jnp.float32),  # q-pool i8
                         pltpu.VMEM((B, 128), jnp.float32),       # m
-                        pltpu.VMEM((B, 128), jnp.float32),       # den (+sq)
-                        pltpu.VMEM((B, HD), jnp.float32)],       # acc
+                        pltpu.VMEM((B, 128), jnp.float32),       # den
+                        pltpu.VMEM((B, HD), jnp.float32),        # acc
+                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
     h_out, kvnew = pl.pallas_call(
         kernel,
@@ -2670,7 +2683,7 @@ def fused_decode_step_v5i4(packed: Params, x: jnp.ndarray,
 def _kernel_w4i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                  wpj_ref, sc_ref, kvk_ref, kvv_ref, ksc_ref, vsc_ref,
                  pool_ref, poolt_ref, h_out_ref, kvnew_ref,
-                 h_scr, qp_scr, m_scr, den_scr, acc_scr,
+                 h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr,
                  *, n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
                  n_bblk: int = 1, eps: float = 1e-5):
     l = pl.program_id(0)
@@ -2769,7 +2782,9 @@ def _kernel_w4i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :H] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            den_scr[b:b + 1, 120:121] = sq[None, None]
+            # replicate the scalar across H lanes: the read side then only
+            # needs a sublane broadcast (Mosaic rejects (1,1)->(bs,H))
+            sq_scr[b:b + 1, :H] = jnp.full((1, H), sq, jnp.float32)
         sl_all = jax.lax.dot_general(
             (k_new * q).astype(jnp.float32), pool,
             (((1,), (0,)), ((), ())),
@@ -2790,12 +2805,12 @@ def _kernel_w4i4(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
         vs = vsc_ref[0, bb]
         qp_lo = qp_scr[pl.ds(rb * HD, HDh), :H].astype(jnp.int8)
         qp_hi = qp_scr[pl.ds(rb * HD + HDh, HDh), :H].astype(jnp.int8)
-        sq = den_scr[pl.ds(rb, 1), 120:121]
+        sqv = sq_scr[pl.ds(rb, 1), :H]                   # [1, H]
         li = (jax.lax.dot_general(klo, qp_lo, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
               + jax.lax.dot_general(khi, qp_hi, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32))
-        logits = li.astype(jnp.float32) * ks * (sq * (scale / 7.0))
+        logits = li.astype(jnp.float32) * ks * (sqv * (scale / 7.0))
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(rb, 1), :H]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
@@ -2919,7 +2934,8 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
                         pltpu.VMEM((B * HD, 128), jnp.float32),
                         pltpu.VMEM((B, 128), jnp.float32),
                         pltpu.VMEM((B, 128), jnp.float32),
-                        pltpu.VMEM((B, HD), jnp.float32)],
+                        pltpu.VMEM((B, HD), jnp.float32),
+                        pltpu.VMEM((B, 128), jnp.float32)],      # sq
     )
     h_out, kvnew = pl.pallas_call(
         kernel,
@@ -3134,7 +3150,9 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             sq = jnp.max(jnp.abs(qp)) / 127.0 + 1e-12
             qp_scr[b * HD:(b + 1) * HD, :QH] = jnp.clip(
                 jnp.round(qp / sq), -127, 127)
-            sq_scr[b:b + 1, 0:1] = sq[None, None]
+            # replicated across QH lanes so the read side only needs a
+            # sublane broadcast (Mosaic rejects (1,1)->(bs,QH))
+            sq_scr[b:b + 1, :QH] = jnp.full((1, QH), sq, jnp.float32)
             # causal intra-chunk logits: query i vs chunk key j, j <= i
             # (j == 0 is valid for every row, so m0 is finite everywhere)
             lij = []
@@ -3157,8 +3175,22 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                     p, poolt, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [Q, HD]
                 acc0 = acc0 + lanes * vb[j][None, :]
-            m_scr[b:b + 1, :QH] = m0.reshape(1, QH)
-            den_scr[b:b + 1, :QH] = den0.reshape(1, QH)
+            # (Q, H) -> (1, QH): tpu.reshape across the sublane/lane
+            # boundary is unsupported, and a lane concat of sublane
+            # slices carries mismatched sublane offsets.  Route each row
+            # through a tiny selector dot (MXU results land at offset
+            # {0,0}) and concat those along lanes.
+            def rows_to_lanes(mat):
+                qidx = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+                rows = [jax.lax.dot_general(
+                            (qidx == qi).astype(jnp.float32), mat,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        for qi in range(Q)]
+                return jnp.concatenate(rows, axis=1)     # [1, QH]
+
+            m_scr[b:b + 1, :QH] = rows_to_lanes(m0)
+            den_scr[b:b + 1, :QH] = rows_to_lanes(den0)
             acc_scr[b * Q:(b + 1) * Q, :] = acc0
 
     # ---- every S-block: one [bs, HD] x [HD, QH] MXU dot per scene
@@ -3168,7 +3200,7 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
     valid = spos < cl
     for b in range(B):
         qp_i8 = qp_scr[pl.ds(b * HD, HD), :QH].astype(jnp.int8)
-        sq = sq_scr[pl.ds(b, 1), 0:1]                    # [1, 1]
+        sqv = sq_scr[pl.ds(b, 1), :QH]                   # [1, QH]
         if int4:
             klo, khi = _unpack_nibbles(kvk_ref[0, b])    # [bs, HD/2] i8
             vlo, vhi = _unpack_nibbles(kvv_ref[0, b])
@@ -3180,7 +3212,7 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                   + jax.lax.dot_general(
                       khi, qp_i8[HDh:], (((1,), (0,)), ((), ())),
                       preferred_element_type=jnp.int32))
-            logits = li.astype(jnp.float32) * ks_q * (sq * (scale / 7.0))
+            logits = li.astype(jnp.float32) * ks_q * (sqv * (scale / 7.0))
         else:
             kmat = kvk_ref[0, b]                         # [bs, HD] i8
             vmat = kvv_ref[0, b]
@@ -3188,7 +3220,7 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
             logits = (li.astype(jnp.float32)
-                      * (sq * (scale / KV_INT8_SCALE)))  # [bs, QH]
+                      * (sqv * (scale / KV_INT8_SCALE)))  # [bs, QH]
         logits = jnp.where(valid, logits, -jnp.inf)
         m_old = m_scr[pl.ds(b, 1), :QH]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
