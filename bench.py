@@ -74,6 +74,8 @@ def main():
                       tar_cache_window=int(window) if window else None,
                       speculative_k=int(os.environ.get(
                           "UMGEN_BENCH_SPEC_K", "0")),
+                      speculative_bbox=os.environ.get(
+                          "UMGEN_BENCH_SPEC_BBOX", "1") == "1",
                       # batch-group size for the fused kernel's innermost
                       # grid dim (needed to fit VMEM at B=8; 0 = whole batch)
                       oar_batch_block=int(os.environ.get(

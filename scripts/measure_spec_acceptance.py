@@ -28,6 +28,9 @@ def main():
                     help="conditioning frames from the synthetic scene")
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--sample", default="topk", choices=("topk", "greedy"))
+    ap.add_argument("--no_bbox", action="store_true",
+                    help="keep the bbox segment sequential (measures the "
+                         "map/image-only acceptance for comparison)")
     ap.add_argument("--data_root", default=None,
                     help="scene pkls (default: the training synthetic dir "
                          "next to the checkpoint)")
@@ -44,6 +47,7 @@ def main():
     from umgen_tpu.runtime import checkpoint as ckpt
 
     cfg = ModelConfig(sample_method=args.sample, speculative_k=args.k,
+                      speculative_bbox=not args.no_bbox,
                       use_pallas_attention=False,
                       ).scaled(args.scale)
     model = UMGen(cfg)

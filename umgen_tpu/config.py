@@ -216,6 +216,14 @@ class ModelConfig:
     # Lossless (rejection-scheme) — the output distribution equals
     # sequential sampling.  0 disables.
     speculative_k: int = 0
+    # also draft the bbox segment (660 positions) when speculative_k > 0.
+    # The target there is the merge-rule OAR/TAR mixture; control and
+    # no-born positions are deterministic deltas, and the collision rule
+    # constraint applies at box completions with acceptance truncated at
+    # kills — still lossless (greedy reproduces the sequential stream,
+    # tested).  Chunks are clamped to <= 11 so at most one box completes
+    # per verify step.
+    speculative_bbox: bool = True
 
     # --- training-only ---
     dropout: float = 0.0

@@ -823,10 +823,28 @@ class Rollout:
         spec_accepted = jnp.int32(0)
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
-            kv_len = min(seg.end + (spec_k if seg.mod != "bbox3d" else 0),
-                         _kv_rows(state.kv_k))
+            bbox_spec = (seg.mod == "bbox3d" and spec_k > 0
+                         and cfg.speculative_bbox)
+            kv_len = min(
+                seg.end + (spec_k if seg.mod != "bbox3d" or bbox_spec
+                           else 0),
+                _kv_rows(state.kv_k))
             part = self._sliced(state, kv_len)
-            if seg.mod == "bbox3d":
+            if bbox_spec:
+                from umgen_tpu.models.speculative import (
+                    decode_bbox_segment_speculative)
+                part, seg_tokens, tel = decode_bbox_segment_speculative(
+                    self, params, seg, part, prior_seq,
+                    prev_frame_bbox=prev_frame_bbox,
+                    tar_box_logits=tar_box_logits,
+                    control_mask=control_mask,
+                    K=min(spec_k, 11),
+                    greedy=cfg.sample_method == "greedy")
+                spec_chunks = spec_chunks + jnp.asarray(tel.chunks,
+                                                        jnp.int32)
+                spec_accepted = spec_accepted + jnp.asarray(tel.accepted,
+                                                            jnp.int32)
+            elif seg.mod == "bbox3d":
                 # NB the merge rule reads the control-OVERWRITTEN previous
                 # frame (ref:_inference mutates inputs["bbox3d"][:, -1]
                 # before passing it as previous_frame_tokens,

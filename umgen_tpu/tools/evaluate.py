@@ -74,7 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight-only int8 quantization scope")
     p.add_argument("--speculative_k", type=int, default=0,
                    help="TAR-draft speculative decoding chunk size for the "
-                   "map/image segments (0 = off)")
+                   "map/image/bbox segments (0 = off)")
+    p.add_argument("--no_spec_bbox", action="store_true",
+                   help="keep the bbox segment sequential when "
+                   "--speculative_k is on (map/image stay speculative)")
     p.add_argument("--tar_cache_window", type=int, default=None,
                    help="temporal ring length (default: cond_frames)")
     p.add_argument("--chunked_prefill", action="store_true",
@@ -125,6 +128,7 @@ def config_from_args(args):
                                          or args.kv_dtype == "int4"
                                          else args.kv_dtype)),
                        speculative_k=args.speculative_k,
+                       speculative_bbox=not args.no_spec_bbox,
                        fused_oar_kernel=args.fused_oar,
                        oar_kernel_version=args.oar_kernel,
                        oar_batch_block=args.oar_batch_block,
