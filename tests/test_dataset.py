@@ -88,3 +88,25 @@ def test_loading_transforms(tmp_path):
     assert abs(res["intrinsics"][0][0, 0] - 250.0) < 1e-3
     res = ToTensorCollect(["img"])(res)
     assert res["img"].shape == (2, 3, 256, 512)
+
+
+def test_error_scene_journaled_not_fatal(tmp_path):
+    """A corrupt pkl must be skipped + journaled, not kill the run
+    (ref:UMGen_nuplan_dataset.py:183-200)."""
+    root = write_synthetic_dataset(str(tmp_path), n_scenes=1, seq_len=120,
+                                   seed=0)
+    bad = f"{root}/aaa_corrupt.pkl"       # sorts first
+    with open(bad, "wb") as f:
+        f.write(b"\x80\x04 truncated garbage")
+    cfg = DataConfig(data_root=(root,), block_size=22, sampling_gap=4,
+                     start_index=10)
+    ds = NuPlanTokenDataset(cfg)
+    assert len(ds) == 2
+    assert ds[0] is None                   # corrupt scene skipped
+    assert ds[1] is not None               # good scene still loads
+    assert len(ds.error_scenes) == 1
+    assert "aaa_corrupt" in ds.error_scenes[0]["scene"]
+    journal = str(tmp_path / "journal" / "error_scene.txt")
+    ds.write_error_journal(journal)
+    with open(journal) as f:
+        assert "aaa_corrupt" in f.read()

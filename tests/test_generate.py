@@ -175,3 +175,83 @@ def test_generate_task_subsets(task, mode):
     assert out["map"].shape == (1, 4, 1024)
     assert ("bbox3d" in out) == ("bbox3d" in task)
     assert "image" not in out
+
+
+@pytest.mark.parametrize("mode", ["recompute", "temporal_cache"])
+def test_init_token_mod_forces_modalities(mode):
+    """init_token_mod replay (ref:model_pl.py:103-130): forced modalities
+    are byte-equal to the GT continuation while the rest are sampled."""
+    cfg, model, params = build(tar_mode=mode)
+    gen = Generator(model, params, seed=0)
+    cond = cond_for(model, T=5)           # 3 cond + 2 frames of GT
+    forced = {"map": cond["map"][:, 3:5], "bbox3d": cond["bbox3d"][:, 3:5]}
+    out = gen.generate(cond, new_frames=2, cond_frames=3,
+                       input_cond_frames=3, forced_streams=forced)
+    np.testing.assert_array_equal(out["map"][:, 3:5], cond["map"][:, 3:5])
+    np.testing.assert_array_equal(out["bbox3d"][:, 3:5],
+                                  cond["bbox3d"][:, 3:5])
+    # the un-forced image segment is sampled, not copied from GT
+    assert not np.array_equal(out["image"][:, 3:5], cond["image"][:, 3:5])
+
+
+def test_forced_segment_matches_sequential_teacher_forcing():
+    """The one-pass forced-segment decode must leave the OAR cache and the
+    next-segment input embedding exactly as a sequential teacher-forced
+    scan would — that is what makes later positions condition on the
+    forced stream.  (Token-level downstream probes are useless here:
+    random tiny weights give near-uniform attention, so greedy argmax
+    rarely flips.)"""
+    from umgen_tpu.models.rollout import OarState
+
+    cfg, model, params = build(oar_cache_dtype="float32")
+    ro = Rollout(model)
+    lo = model.layout
+    seg = lo.segment("map")
+    c0 = seg.content_start
+    B, D = 1, cfg.n_embd
+    rng = jax.random.PRNGKey(5)
+    prior_seq = jax.random.normal(jax.random.PRNGKey(6),
+                                  (B, lo.seq_len + 1, D))
+    forced = jax.random.randint(jax.random.PRNGKey(7),
+                                (B, seg.content_len), 0, 8192)
+    kv_k, kv_v = ro.init_kv(B)
+    bos = (jax.random.normal(jax.random.PRNGKey(8), (B, 1, D))
+           .astype(jnp.dtype(cfg.dtype)))
+    state0 = OarState(kv_k, kv_v, bos, rng)
+
+    stA, toksA = jax.jit(lambda s: ro._decode_forced_segment(
+        params, "map", seg, s, prior_seq, forced))(state0)
+
+    def seq(state0):
+        def step(st, xs):
+            i, tok = xs
+            _, kk, vv = ro.oar_step(params, st.prev_emb, st.kv_k, st.kv_v,
+                                    cache_len=c0 - 1 + i)
+            emb = ro._embed_token(params, "map", tok)[:, None, :] \
+                + jax.lax.dynamic_slice_in_dim(prior_seq, c0 + i, 1, axis=1)
+            return OarState(kk, vv, emb.astype(st.prev_emb.dtype),
+                            st.rng), tok
+        return jax.lax.scan(step, state0,
+                            (jnp.arange(seg.content_len), forced.T))
+
+    stB, _ = jax.jit(seq)(state0)
+    np.testing.assert_array_equal(np.asarray(toksA), np.asarray(forced))
+    np.testing.assert_allclose(np.asarray(stA.kv_k, np.float32),
+                               np.asarray(stB.kv_k, np.float32),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stA.kv_v, np.float32),
+                               np.asarray(stB.kv_v, np.float32),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stA.prev_emb, np.float32),
+                               np.asarray(stB.prev_emb, np.float32),
+                               atol=1e-4)
+
+
+def test_init_token_mod_pose_rides_trajectory_control():
+    cfg, model, params = build()
+    gen = Generator(model, params, seed=0)
+    cond = cond_for(model, T=5)
+    out = gen.generate(cond, new_frames=2, cond_frames=3,
+                       input_cond_frames=3,
+                       forced_streams={"pose": cond["pose"][:, 3:5]})
+    np.testing.assert_array_equal(out["pose"][:, 3:5], cond["pose"][:, 3:5])

@@ -70,20 +70,42 @@ class NuPlanTokenDataset:
         self.pipeline = pipeline or ScenePipeline()
         self.files = list_scene_files(config.data_root)
         self.categories = set(CATEGORIES)
+        # scenes whose pkl was malformed, with the error — journaled and
+        # skipped instead of killing the batch run
+        # (ref:UMGen_nuplan_dataset.py:114,183-200,329-342)
+        self.error_scenes: List[Dict[str, str]] = []
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, idx: int) -> Dict:
+    def __getitem__(self, idx: int) -> Optional[Dict]:
+        """One scene, or None (journaled in `error_scenes`) if the pkl is
+        corrupt/malformed — a bad scene must not kill a batch run
+        (ref:UMGen_nuplan_dataset.py:183-200)."""
         path = self.files[idx]
-        with open(path, "rb") as f:
-            raw = pickle.load(f)
-        if self.config.control_test:
-            # control pkls are already tokenized dicts, loaded verbatim
-            # (ref:UMGen_nuplan_dataset.py:204-207)
-            raw["file_name"] = f"{idx}_{path}"
-            return raw
-        return self.format_scene(raw, idx, path)
+        try:
+            with open(path, "rb") as f:
+                raw = pickle.load(f)
+            if self.config.control_test:
+                # control pkls are already tokenized dicts, loaded verbatim
+                # (ref:UMGen_nuplan_dataset.py:204-207)
+                raw["file_name"] = f"{idx}_{path}"
+                return raw
+            return self.format_scene(raw, idx, path)
+        except Exception as e:  # noqa: BLE001 — journal any bad scene
+            self.error_scenes.append(
+                {"scene": path, "error": f"{type(e).__name__}: {e}"})
+            print(f"error scene {path}: {type(e).__name__}: {e} — skipped")
+            return None
+
+    def write_error_journal(self, path: str) -> None:
+        """Append journaled error scenes to a text file (one per line)."""
+        if not self.error_scenes:
+            return
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a") as f:
+            for rec in self.error_scenes:
+                f.write(f"{rec['scene']}\t{rec['error']}\n")
 
     def format_scene(self, frame_data: Dict, idx: int, path: str) -> Dict:
         """Raw pkl → token dict (ref:UMGen_nuplan_dataset.py:231-417)."""

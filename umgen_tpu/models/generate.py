@@ -181,18 +181,23 @@ class Generator:
         return fns
 
     def _step_fn(self, variant: str):
+        # every variant takes a trailing forced-tokens dict ({} = none);
+        # jax.jit retraces per pytree structure, so a new forced-mod set
+        # just compiles one more specialization
         fn = self._step_cache.get(variant)
         if fn is None:
             if variant == "plain":
-                fn = jax.jit(lambda p, inp, rng: self.rollout.frame_step(
-                    p, inp, rng))
+                fn = jax.jit(lambda p, inp, rng, fd: self.rollout.frame_step(
+                    p, inp, rng, forced_tokens=fd))
             elif variant == "pose":
-                fn = jax.jit(lambda p, inp, rng, po: self.rollout.frame_step(
-                    p, inp, rng, pose_override=po))
+                fn = jax.jit(
+                    lambda p, inp, rng, po, fd: self.rollout.frame_step(
+                        p, inp, rng, pose_override=po, forced_tokens=fd))
             elif variant == "pose_bbox":
                 fn = jax.jit(
-                    lambda p, inp, rng, po, cb: self.rollout.frame_step(
-                        p, inp, rng, pose_override=po, control_bbox=cb))
+                    lambda p, inp, rng, po, cb, fd: self.rollout.frame_step(
+                        p, inp, rng, pose_override=po, control_bbox=cb,
+                        forced_tokens=fd))
             self._step_cache[variant] = fn
         return fn
 
@@ -203,19 +208,37 @@ class Generator:
                  input_cond_frames: int = -1,
                  init_tokens: Optional[Dict[str, np.ndarray]] = None,
                  control_test: bool = False,
-                 progress: bool = False) -> Dict[str, np.ndarray]:
+                 progress: bool = False,
+                 forced_streams: Optional[Dict[str, np.ndarray]] = None,
+                 ) -> Dict[str, np.ndarray]:
         """cond_tokens: dict mod → [B, T0, len].  Returns dict mod →
         [B, input_cond_frames + new_frames, len] numpy (conditioning prefix
         + generated frames, matching the reference's out_tokens).
+
+        forced_streams: {mod: [B, T_f, len]} — init_token_mod replay
+        (ref:model_pl.py:103-130): for generated frame idx < T_f the listed
+        modalities are teacher-forced to these tokens (GT) instead of
+        sampled; later positions in the frame condition on the forced
+        stream.  Frames past T_f sample freely.
 
         With config.tar_mode == "temporal_cache" the TAR cascade runs
         against per-layer temporal KV rings: the conditioning window is
         ingested once, then each frame pushes only its own tokens through
         the stacks (~12x fewer TAR FLOPs at the larger scale)."""
+        if forced_streams is not None and self.spmd == "shard_map":
+            raise NotImplementedError(
+                "forced_streams (init_token_mod) is not wired through the "
+                "shard_map serving path; use the default gspmd path")
+        if forced_streams and "pose" in forced_streams:
+            # forcing the ego action rides the existing trajectory-control
+            # path (pose_override)
+            init_tokens = dict(init_tokens or {})
+            init_tokens.setdefault("pose", forced_streams["pose"])
         if self.model.config.tar_mode == "temporal_cache":
             return self._generate_cached(cond_tokens, new_frames,
                                          input_cond_frames, init_tokens,
-                                         control_test, progress)
+                                         control_test, progress,
+                                         forced_streams)
         lo = self.model.layout
         mods = lo.mod_order
         if input_cond_frames == -1:
@@ -234,6 +257,9 @@ class Generator:
             if "pose" not in init:
                 init = None
 
+        forced = {m: np.asarray(v) for m, v in (forced_streams or {}).items()
+                  if m in mods and m != "pose"}
+
         frames = range(new_frames)
         if progress:
             import tqdm
@@ -242,6 +268,9 @@ class Generator:
         for idx in frames:
             if cond["pose"].shape[1] > cond_frames:
                 cond = {m: v[:, -cond_frames:] for m, v in cond.items()}
+
+            fd = {m: jnp.asarray(v[:, idx], jnp.int32)
+                  for m, v in forced.items() if idx < v.shape[1]}
 
             pose_override = None
             control_bbox = None
@@ -265,13 +294,14 @@ class Generator:
             if control_bbox is not None:
                 fn = self._step_fn("pose_bbox")
                 res = fn(self.params, dev_inputs, step_rng, pose_override,
-                         control_bbox)
+                         control_bbox, fd)
             elif pose_override is not None:
                 fn = self._step_fn("pose")
-                res = fn(self.params, dev_inputs, step_rng, pose_override)
+                res = fn(self.params, dev_inputs, step_rng, pose_override,
+                         fd)
             else:
                 fn = self._step_fn("plain")
-                res = fn(self.params, dev_inputs, step_rng)
+                res = fn(self.params, dev_inputs, step_rng, fd)
 
             tokens = np.asarray(jax.device_get(res.tokens))
             self.spec_chunks += int(res.spec_chunks)
@@ -295,9 +325,12 @@ class Generator:
 
     # ------------------------------------------------------------------
     def _generate_cached(self, cond_tokens, new_frames, input_cond_frames,
-                         init_tokens, control_test, progress):
+                         init_tokens, control_test, progress,
+                         forced_streams=None):
         lo = self.model.layout
         mods = lo.mod_order
+        forced = {m: np.asarray(v) for m, v in (forced_streams or {}).items()
+                  if m in mods and m != "pose"}
         if input_cond_frames == -1:
             input_cond_frames = self.model.config.cond_frame
 
@@ -316,7 +349,8 @@ class Generator:
             sm = self._sm_cached_fns()
 
             def call_prefill(p, inp, rng, pose_override=None,
-                             control_bbox=None):
+                             control_bbox=None, forced_tokens=None):
+                assert not forced_tokens  # guarded in generate()
                 if control_bbox is not None:
                     return sm["prefillpb"](p, inp, rng, pose_override,
                                            control_bbox)
@@ -325,7 +359,8 @@ class Generator:
                 return sm["prefill"](p, inp, rng)
 
             def call_step(p, newest, cache, rng, pose_override=None,
-                          control_bbox=None):
+                          control_bbox=None, forced_tokens=None):
+                assert not forced_tokens  # guarded in generate()
                 if control_bbox is not None:
                     return sm["steppb"](p, newest, cache, rng,
                                         pose_override, control_bbox)
@@ -340,15 +375,17 @@ class Generator:
                 donate_argnums=(2,))
 
             def call_prefill(p, inp, rng, pose_override=None,
-                             control_bbox=None):
+                             control_bbox=None, forced_tokens=None):
                 return prefill(p, inp, rng, pose_override=pose_override,
-                               control_bbox=control_bbox)
+                               control_bbox=control_bbox,
+                               forced_tokens=forced_tokens)
 
             def call_step(p, newest, cache, rng, pose_override=None,
-                          control_bbox=None):
+                          control_bbox=None, forced_tokens=None):
                 return step_jit(p, newest, cache, rng,
                                 pose_override=pose_override,
-                                control_bbox=control_bbox)
+                                control_bbox=control_bbox,
+                                forced_tokens=forced_tokens)
 
         frames = range(new_frames)
         if progress:
@@ -371,6 +408,8 @@ class Generator:
                 frame_control = True
             elif init is not None:
                 init = None
+            fd = {m: jnp.asarray(v[:, idx], jnp.int32)
+                  for m, v in forced.items() if idx < v.shape[1]}
 
             self.rng, step_rng = jax.random.split(self.rng)
             if idx == 0:
@@ -399,17 +438,20 @@ class Generator:
                     res, cache = call_step(self.params, last, cache,
                                            step_rng,
                                            pose_override=pose_override,
-                                           control_bbox=control_bbox)
+                                           control_bbox=control_bbox,
+                                           forced_tokens=fd)
                 else:
                     res, cache = call_prefill(self.params, dev_inputs,
                                               step_rng,
                                               pose_override=pose_override,
-                                              control_bbox=control_bbox)
+                                              control_bbox=control_bbox,
+                                              forced_tokens=fd)
             else:
                 res, cache = call_step(self.params, newest, cache,
                                        step_rng,
                                        pose_override=pose_override,
-                                       control_bbox=control_bbox)
+                                       control_bbox=control_bbox,
+                                       forced_tokens=fd)
 
             tokens = np.asarray(jax.device_get(res.tokens))
             self.spec_chunks += int(res.spec_chunks)

@@ -518,6 +518,38 @@ class Rollout:
         return state, tokens.T            # [B, content_len]
 
     # ------------------------------------------------------------------
+    # teacher-forced segment (init_token_mod replay)
+    # ------------------------------------------------------------------
+    def _decode_forced_segment(self, params, mod, seg, state: OarState,
+                               prior_seq, forced) -> Tuple[OarState,
+                                                           jnp.ndarray]:
+        """Force a whole segment to given tokens (the reference's
+        init-token replay, ref:tools/model_pl.py:103-130 +
+        UMGen.py:1180-1201): no sampling, but the forced embeddings are
+        pushed through the OAR so the cache — and therefore every later
+        position in the frame — conditions on the forced stream exactly
+        as if it had been sampled.  One causal multi-token pass replaces
+        the sequential scan (the tokens are known upfront).
+
+        forced: [B, content_len] int32."""
+        c0 = seg.content_start
+        L = seg.content_len
+        dt = state.prev_emb.dtype
+        forced = forced.astype(jnp.int32)
+        # inputs at indices c0-1 .. c0+L-2: BOS input (state.prev_emb),
+        # then embed(forced[i]) + prior[c0+i] for i = 0..L-2
+        emb = self._embed_token(params, mod, forced[:, :L - 1])
+        pri = jax.lax.slice_in_dim(prior_seq, c0, c0 + L - 1, axis=1)
+        x = jnp.concatenate([state.prev_emb, (emb + pri).astype(dt)],
+                            axis=1)
+        _, kv_k, kv_v = self.oar_step(params, x, state.kv_k, state.kv_v,
+                                      cache_len=c0 - 1)
+        last = (self._embed_token(params, mod, forced[:, L - 1:L])
+                + jax.lax.slice_in_dim(prior_seq, c0 + L - 1, c0 + L,
+                                       axis=1))
+        return OarState(kv_k, kv_v, last.astype(dt), state.rng), forced
+
+    # ------------------------------------------------------------------
     # bbox segment scan with merge rule / control / collision constraint
     # ------------------------------------------------------------------
     def _decode_bbox_segment(self, params, seg, state: OarState, prior_seq,
@@ -703,6 +735,7 @@ class Rollout:
                    rng: jax.Array,
                    pose_override: Optional[jnp.ndarray] = None,
                    control_bbox: Optional[jnp.ndarray] = None,
+                   forced_tokens: Optional[Dict[str, jnp.ndarray]] = None,
                    ) -> FrameOutputs:
         """Generate one frame.
 
@@ -713,6 +746,8 @@ class Rollout:
         (trajectory control, ref:UMGen.py:1441-1447).
         control_bbox: [B, 660] init bbox tokens with -1 for free positions
         (agent control, ref:UMGen.py:1459-1475), or None.
+        forced_tokens: {mod: [B, content_len]} teacher-forced segments
+        (init_token_mod replay, ref:model_pl.py:103-130), or None.
         """
         cfg = self.config
         lo = self.layout
@@ -744,15 +779,22 @@ class Rollout:
         return self._finish_frame(params, priors["prior_seq"], ego_tokens,
                                   shifted["bbox3d"][:, -1]
                                   if "bbox3d" in shifted else None,
-                                  control_mask, rng)
+                                  control_mask, rng,
+                                  forced_tokens=forced_tokens)
 
     def _finish_frame(self, params: Params, prior_seq: jnp.ndarray,
                       ego_tokens: jnp.ndarray,
                       prev_frame_bbox: jnp.ndarray,
                       control_mask: jnp.ndarray,
-                      rng: jax.Array) -> FrameOutputs:
+                      rng: jax.Array,
+                      forced_tokens: Optional[Dict[str, jnp.ndarray]] = None,
+                      ) -> FrameOutputs:
         """Step 3: the OAR decode given the TAR priors (shared between the
-        recompute and temporal-cache paths)."""
+        recompute and temporal-cache paths).
+
+        forced_tokens: optional {mod: [B, content_len]} — segments listed
+        here are teacher-forced to the given tokens instead of sampled
+        (init_token_mod replay, ref:model_pl.py:103-130)."""
         cfg = self.config
         lo = self.layout
         B = prior_seq.shape[0]
@@ -821,16 +863,21 @@ class Rollout:
         sample_k_for = {"map": cfg.top_k_map, "image": cfg.top_k_image}
         spec_chunks = jnp.int32(0)
         spec_accepted = jnp.int32(0)
+        forced_tokens = forced_tokens or {}
         for si, seg in enumerate(segs):
             tokens = tokens.at[:, seg.start].set(seg.bos)
+            forced = forced_tokens.get(seg.mod)
             bbox_spec = (seg.mod == "bbox3d" and spec_k > 0
-                         and cfg.speculative_bbox)
+                         and cfg.speculative_bbox and forced is None)
             kv_len = min(
                 seg.end + (spec_k if seg.mod != "bbox3d" or bbox_spec
                            else 0),
                 _kv_rows(state.kv_k))
             part = self._sliced(state, kv_len)
-            if bbox_spec:
+            if forced is not None:
+                part, seg_tokens = self._decode_forced_segment(
+                    params, seg.mod, seg, part, prior_seq, forced)
+            elif bbox_spec:
                 from umgen_tpu.models.speculative import (
                     decode_bbox_segment_speculative)
                 part, seg_tokens, tel = decode_bbox_segment_speculative(
@@ -914,7 +961,8 @@ class Rollout:
     def frame_step_prefill(self, params: Params,
                            inputs: Dict[str, jnp.ndarray],
                            rng: jax.Array,
-                           pose_override=None, control_bbox=None):
+                           pose_override=None, control_bbox=None,
+                           forced_tokens=None):
         """First cached-mode step: ingest the whole conditioning window
         into the TAR rings, then decode one frame.  inputs: the raw window
         {mod: [B, T, len]} assumed to start at absolute frame 0.
@@ -948,7 +996,8 @@ class Rollout:
         cache = pri["cache"]
         cache["frames"] = jnp.asarray(T, jnp.int32)
         out = self._finish_frame(params, pri["prior_seq"], ego_tokens,
-                                 last_bbox, control_mask, rng)
+                                 last_bbox, control_mask, rng,
+                                 forced_tokens=forced_tokens)
         return out, cache
 
     def ingest_frame(self, params: Params, raw_frame: Dict[str, jnp.ndarray],
@@ -978,7 +1027,8 @@ class Rollout:
     def frame_step_cached(self, params: Params,
                           newest_frame: Dict[str, jnp.ndarray],
                           cache: Dict, rng: jax.Array,
-                          pose_override=None, control_bbox=None):
+                          pose_override=None, control_bbox=None,
+                          forced_tokens=None):
         """Steady-state cached step: ingest ONE new raw frame (the frame
         generated by the previous step, pose = motion into it) and decode
         the next frame.  newest_frame: {mod: [B, 1, len]}.
@@ -1015,5 +1065,6 @@ class Rollout:
         cache = pri["cache"]
         cache["frames"] = abs_frame + 1
         out = self._finish_frame(params, pri["prior_seq"], ego_tokens,
-                                 last_bbox, control_mask, rng)
+                                 last_bbox, control_mask, rng,
+                                 forced_tokens=forced_tokens)
         return out, cache

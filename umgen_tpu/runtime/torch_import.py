@@ -81,16 +81,21 @@ def _block_oar(sd, name) -> Params:
 
 
 def _decoder_block(sd, name) -> Params:
+    # FlashCrossAttention names its projections q/k/v_attn
+    # (ref:module.py:459-471, what trained checkpoints carry); the manual
+    # CrossAttention fallback names them q/k/v_attn_wp (ref:module.py:525-533)
+    ca = f"{name}.cross_attn"
+    sfx = "" if f"{ca}.q_attn.weight" in sd else "_wp"
     return {
         "ln1": _ln(sd, f"{name}.ln_1"),
         "self_attn": _attn(sd, f"{name}.self_attn"),
         "ln2": _ln(sd, f"{name}.ln_2"),
         "ln3": _ln(sd, f"{name}.ln_3"),
         "cross_attn": {
-            "q": _linear(sd, f"{name}.cross_attn.q_attn"),
-            "k": _linear(sd, f"{name}.cross_attn.k_attn"),
-            "v": _linear(sd, f"{name}.cross_attn.v_attn"),
-            "proj": _linear(sd, f"{name}.cross_attn.c_proj"),
+            "q": _linear(sd, f"{ca}.q_attn{sfx}"),
+            "k": _linear(sd, f"{ca}.k_attn{sfx}"),
+            "v": _linear(sd, f"{ca}.v_attn{sfx}"),
+            "proj": _linear(sd, f"{ca}.c_proj"),
         },
         "ln4": _ln(sd, f"{name}.ln_4"),
         "mlp": _mlp(sd, f"{name}.mlp1"),

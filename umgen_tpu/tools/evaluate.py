@@ -61,12 +61,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_method", type=str, default="topk")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--init_token_mod", type=str, default="",
+                   help="comma-separated modalities forced to GT during "
+                   "generation (init-token replay for FID/MMD eval, "
+                   "ref:model_pl.py:103-130), e.g. 'map,image'")
+    p.add_argument("--no_gt_video", action="store_true",
+                   help="render single-panel videos instead of the default "
+                   "pred|GT side-by-side panel")
     # performance options (no reference equivalents)
-    p.add_argument("--tar_mode", type=str, default="temporal_cache",
+    p.add_argument("--tar_mode", type=str, default=None,
                    choices=["temporal_cache", "recompute"],
                    help="recompute = reference-faithful window recompute; "
                    "temporal_cache = per-layer frame KV rings (~12x fewer "
-                   "TAR FLOPs)")
+                   "TAR FLOPs).  Default: temporal_cache for video, "
+                   "recompute for control (under agent control the cached "
+                   "rings bake token overrides in at ingestion — recompute "
+                   "keeps the reference's per-step overwrite semantics, "
+                   "ref:UMGen.py:1464-1467)")
     p.add_argument("--kv_dtype", type=str, default="float8_e4m3fn",
                    help="KV cache storage dtype (float8_e4m3fn | bfloat16)")
     p.add_argument("--int8", type=str, default="decode",
@@ -118,10 +129,23 @@ def config_from_args(args):
     the OAR cache in too."""
     from umgen_tpu.config import ModelConfig
 
+    tar_mode = args.tar_mode
+    if tar_mode is None:
+        # control replays must be bit-faithful to the reference's per-step
+        # window overwrite (ref:UMGen.py:1464-1467); the cached rings bake
+        # overrides in at ingestion, so default control to recompute
+        tar_mode = ("recompute" if "control" in args.infer_task
+                    else "temporal_cache")
+        if tar_mode == "recompute":
+            print("control task: defaulting --tar_mode recompute "
+                  "(reference-faithful control semantics); pass "
+                  "--tar_mode temporal_cache to opt into the faster "
+                  "cached rollout")
+
     return ModelConfig(task=args.pred_task,
                        rule_constrain=args.rule_constrain,
                        sample_method=args.sample_method,
-                       tar_mode=args.tar_mode,
+                       tar_mode=tar_mode,
                        tar_cache_dtype=args.kv_dtype,
                        oar_cache_dtype=(args.oar_kv_dtype or
                                         ("int8" if args.fused_oar
@@ -240,10 +264,13 @@ def main(argv: Optional[list] = None) -> int:
                         spmd="shard_map")
     else:
         gen = Generator(model, params, seed=args.seed)
+    init_token_mod = tuple(m for m in args.init_token_mod.split(",") if m)
     runner = SceneRunner(gen, infer_cfg, output_path=args.output_path,
                          pipeline=pipeline, map_decoder=map_dec,
                          image_decoder=image_dec,
-                         save_video=args.save_video)
+                         save_video=args.save_video,
+                         init_token_mod=init_token_mod,
+                         gt_video=not args.no_gt_video)
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
@@ -279,6 +306,15 @@ def main(argv: Optional[list] = None) -> int:
               "on speculative segments")
     ratio, scen = runner.box_overlap.average()
     print(f"collision rate: per-frame {ratio:.4f}, per-scenario {scen:.4f}")
+    if any(runner.mmd.scores.values()):
+        mmd = runner.mmd.average()
+        print("MMD (generated vs GT continuation): "
+              + ", ".join(f"{a}={v:.4f}" for a, v in mmd.items()))
+    dataset.write_error_journal(
+        os.path.join(args.output_path, "error_scene.txt"))
+    if dataset.error_scenes:
+        print(f"{len(dataset.error_scenes)} error scene(s) journaled to "
+              f"{os.path.join(args.output_path, 'error_scene.txt')}")
     print("Sucess")   # the reference's success marker (ref:evaluate.py:221)
     return 0
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -31,13 +31,22 @@ class SceneRunner:
                  output_path: str = "output/UMGen",
                  pipeline: Optional[ScenePipeline] = None,
                  map_decoder=None, image_decoder=None,
-                 save_video: bool = True):
+                 save_video: bool = True,
+                 init_token_mod: Optional[Sequence[str]] = None,
+                 gt_video: bool = True):
+        """init_token_mod: modalities forced to GT during generation (the
+        reference's init-token replay for FID/MMD evaluation,
+        ref:model_pl.py:103-130), e.g. ("map", "image").
+        gt_video: render the pred|GT side-by-side panel when the clip has a
+        GT continuation (ref:model_pl.py:283-315 + visulize.py:1607-1633)."""
         self.gen = generator
         self.cfg = infer_config
         self.pipeline = pipeline or ScenePipeline()
         self.map_decoder = map_decoder
         self.image_decoder = image_decoder
         self.save_video = save_video
+        self.init_token_mod = tuple(init_token_mod or ())
+        self.gt_video = gt_video
         self.output_path = output_path
         self.token_save_path = os.path.join(output_path, "saved_token")
         self.video_save_path = os.path.join(output_path, "video")
@@ -95,11 +104,21 @@ class SceneRunner:
         if new_frames == -1:
             new_frames = cond["bbox3d"].shape[1] - input_cond
 
+        # init_token_mod replay: force the listed modalities to the GT
+        # continuation during generation (ref:model_pl.py:103-130)
+        forced = None
+        if self.init_token_mod and not control_test:
+            forced = {m: cond[m][:, input_cond:input_cond + new_frames]
+                      for m in self.init_token_mod
+                      if m in cond and cond[m].shape[1] > input_cond}
+            forced = forced or None
+
         t0 = time.perf_counter()
         out = self.gen.generate(cond, new_frames=new_frames,
                                 cond_frames=self.cfg.cond_frames,
                                 input_cond_frames=input_cond,
                                 init_tokens=init, control_test=control_test,
+                                forced_streams=forced,
                                 progress=True)
         dt = time.perf_counter() - t0
         self.timings.append({"scene": file_name, "frames": new_frames,
@@ -155,10 +174,18 @@ class SceneRunner:
         if new_frames == -1:
             new_frames = T0 - input_cond
 
+        forced = None
+        if self.init_token_mod:
+            forced = {m: cond[m][:, input_cond:input_cond + new_frames]
+                      for m in self.init_token_mod
+                      if m in cond and cond[m].shape[1] > input_cond}
+            forced = forced or None
+
         t0 = time.perf_counter()
         out = self.gen.generate(cond, new_frames=new_frames,
                                 cond_frames=self.cfg.cond_frames,
                                 input_cond_frames=input_cond,
+                                forced_streams=forced,
                                 progress=True)
         dt = time.perf_counter() - t0
         self.timings.append({"scene": f"batch[{len(todo)}]",
@@ -210,7 +237,7 @@ class SceneRunner:
                                 gt_cats[:n][gt_valid[:n]])
         if self.save_video:
             self.render_video(decoded, file_name,
-                              cond_frames=input_cond)
+                              cond_frames=input_cond, gt=gt)
 
     # ------------------------------------------------------------------
     def save_tokens(self, out_tokens: Dict[str, np.ndarray],
@@ -246,15 +273,52 @@ class SceneRunner:
 
     # ------------------------------------------------------------------
     def render_video(self, decoded: Dict, file_name: str,
-                     cond_frames: int) -> Optional[str]:
+                     cond_frames: int, gt: Optional[Dict] = None
+                     ) -> Optional[str]:
+        """Render the rollout mp4.  With `gt` (and gt_video on) the default
+        output is the reference's prediction|GT side-by-side panel
+        (ref:model_pl.py:283-315 + visulize.py:1607-1633); otherwise the
+        single-panel scene video."""
         try:
-            from umgen_tpu.tools.visualize import render_scene_video
+            from umgen_tpu.tools.visualize import (render_pred_gt_video,
+                                                   render_scene_video)
         except Exception:
             return None
         pose = decoded["pose"].copy()
         pose[:, 2] = pose[:, 2] * 180.0 / np.pi
+        path = os.path.join(self.video_save_path, f"{file_name}.mp4")
+        if gt is not None and self.gt_video and "bbox3d" in gt:
+            gt_bbox = np.asarray(gt["bbox3d"])
+            if gt_bbox.ndim == 2:
+                gt_bbox = gt_bbox[None]
+            T = decoded["boxes"].shape[0]
+            gb, gc, gv = self.pipeline.decode_bboxes(gt_bbox[0, :T])
+            if gb.shape[0] < T:   # GT shorter than rollout: pad invalid
+                pad = T - gb.shape[0]
+                gb = np.concatenate(
+                    [gb, np.zeros((pad,) + gb.shape[1:], gb.dtype)])
+                gc = np.concatenate(
+                    [gc, np.zeros((pad,) + gc.shape[1:], gc.dtype)])
+                gv = np.concatenate(
+                    [gv, np.zeros((pad,) + gv.shape[1:], bool)])
+            gt_maps = None
+            if self.map_decoder is not None and "map" in gt:
+                gm = np.asarray(gt["map"])
+                if gm.ndim == 2:
+                    gm = gm[None]
+                gt_maps = np.asarray(self.map_decoder.decode(gm[0, :T]))
+                if gt_maps.shape[0] < T:
+                    gt_maps = np.concatenate(
+                        [gt_maps, np.zeros((T - gt_maps.shape[0],)
+                                           + gt_maps.shape[1:],
+                                           gt_maps.dtype)])
+            return render_pred_gt_video(
+                path, decoded["boxes"], decoded["cat_ids"],
+                decoded["valid"], gt_boxes=gb, gt_cats=gc, gt_valid=gv,
+                pred_maps=decoded.get("maps_rgb"), gt_maps=gt_maps,
+                pose=pose, cond_frames=cond_frames)
         return render_scene_video(
-            os.path.join(self.video_save_path, f"{file_name}.mp4"),
+            path,
             decoded["boxes"], decoded["cat_ids"], decoded["valid"],
             pose=pose,
             maps_rgb=decoded.get("maps_rgb"),
