@@ -125,16 +125,9 @@ def main():
           else "DIVERGED")
 
     # ---- compare TAR priors ----
-    # reference tar_emb: kwargs/args of infer_oar_net
-    names = ("tar_emb",)
-    ref_tar = None
-    for k, v in captured["oar_kwargs"].items():
-        print("ref infer_oar_net kwarg:", k, type(v))
-        if k in names:
-            ref_tar = v
-    if ref_tar is None and captured["oar_args"]:
-        for i, v in enumerate(captured["oar_args"]):
-            print("ref infer_oar_net arg", i, type(v))
+    # reference tar_emb: positional arg 0 of infer_oar_net (dict mod →
+    # [B, T, seg_len_with_bos_eos, D]; last frame = the prior)
+    ref_tar = captured["oar_args"][0] if captured["oar_args"] else None
 
     shifted = dict(inputs)
     shifted["pose"] = jnp.concatenate(
@@ -187,6 +180,63 @@ def main():
                   f"ref {r[i]} ours {o[i]}")
         else:
             print(f"{mod}: identical ({n} tokens)")
+
+    # ---- teacher-forced margin analysis on the REF stream ----
+    # Rebuild the ref's emitted frame as a full separator-bearing stream,
+    # run OUR model's full causal OAR pass over it, and at every content
+    # position compare our argmax to the ref token.  A genuine import bug
+    # shows up as mismatches with a LARGE logit margin; fp32 near-ties
+    # (random weights) show tiny margins.
+    from umgen_tpu.parallel.train import frame_stream
+    from umgen_tpu.models import modules as nn
+
+    target = {m: jnp.asarray(theirs[m].detach().numpy()[:, 0],
+                             jnp.int32) for m in lo.mod_order}
+    stream = frame_stream(lo, target)               # [B, seq_len]
+    oar_in = ro.oar_inputs_from_tokens(params, jnp.asarray(stream),
+                                       priors["prior_seq"])
+    h = np.asarray(model.oar_forward(params, oar_in), np.float32)
+    head_ar = {"pose": "head_ar_pose", "map": "head_ar_map",
+               "bbox3d": "head_ar_bbox3d", "image": "head_ar_img"}
+    tot_bad = 0
+    for seg in lo.segments:
+        hs = h[:, seg.content_start - 1:seg.content_end]  # predicts content
+        logits = np.asarray(nn.linear(params[head_ar[seg.mod]],
+                                      jnp.asarray(hs)), np.float32)[0]
+        toks = np.asarray(target[seg.mod])[0]
+        am = logits.argmax(-1)
+        mm = np.where(am != toks)[0]
+        # bbox merge rule (ref:UMGen.py:1091-1104): OAR argmax pad →
+        # reference resamples from the TAR head; classify those separately
+        merge_ok = np.zeros(toks.size, bool)
+        if seg.mod == "bbox3d":
+            bseg = lo.segment("bbox3d")
+            tar_h = priors["prior_seq"][:, bseg.start:bseg.content_end + 1]
+            tl = np.asarray(nn.linear(
+                params.get("head_tar_n_step_bbox3d",
+                           params.get("head_tar_bbox3d")),
+                tar_h.astype(jnp.float32)), np.float32)[0]
+            # tar prior row i aligns with content position i (row 0 = BOS
+            # slot predicts nothing; approximate both alignments)
+            for i in mm:
+                if am[i] == 1027:           # our OAR says pad
+                    cand = {int(tl[j].argmax()) for j in (i, i + 1)
+                            if j < tl.shape[0]}
+                    if int(toks[i]) in cand:
+                        merge_ok[i] = True
+        margins = []
+        for i in mm:
+            if merge_ok[i]:
+                continue
+            margins.append(float(logits[i, am[i]] - logits[i, toks[i]]))
+        margins = np.asarray(margins)
+        big = margins[margins > 1e-2] if margins.size else margins
+        print(f"TF {seg.mod}: {mm.size}/{toks.size} argmax≠ref "
+              f"({int(merge_ok.sum())} merge-rule); "
+              f"margin max {margins.max() if margins.size else 0:.2e}; "
+              f"{big.size} above 1e-2")
+        tot_bad += big.size
+    print("teacher-forced large-margin mismatches:", tot_bad)
 
 
 if __name__ == "__main__":
