@@ -1,0 +1,146 @@
+"""Quantify temporal-cache vs recompute divergence on a TRAINED checkpoint.
+
+The temporal-cache TAR keeps per-frame KV rings and, once the rollout
+exceeds the conditioning window, retains stale ring entries instead of
+recomputing attention over the slid window (StreamingLLM-style — documented
+at umgen_tpu/models/umgen.py).  Exactness is tested while the window grows;
+this script measures what happens AFTER the slide, on weights that actually
+model the data (random weights tell you nothing about semantic drift):
+
+  * per-frame, per-modality token agreement between the two streams
+    (greedy sampling, identical seed → any difference is semantics)
+  * first-divergence frame
+  * collision rate and MMD-vs-GT of both streams (the quality deltas)
+
+Usage (train a tiny checkpoint first):
+
+    python -m umgen_tpu.tools.train --model_scale tiny --steps 300 \
+        --synthetic_data 8 --window 4 --ckpt_dir /tmp/div_ckpt
+    python scripts/measure_cache_divergence.py \
+        --ckpt /tmp/div_ckpt/step_0000300 --frames 30 --cond 4
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
+            w8=False, tar_cache_dtype=None, oar_cache_dtype=None):
+    import jax
+    import numpy as np
+
+    from umgen_tpu.config import DataConfig, ModelConfig
+    from umgen_tpu.data.dataset import NuPlanTokenDataset
+    from umgen_tpu.models.generate import Generator
+    from umgen_tpu.models.umgen import UMGen
+    from umgen_tpu.parallel.train import UMGenTrainer
+    from umgen_tpu.runtime import checkpoint as ckpt_io
+
+    # the recompute path slides a cond_frames window; the cached path's
+    # ring length is config.tar_cache_window — set both to `window` so the
+    # two modes see identical conditioning semantics
+    extra = {}
+    if tar_cache_dtype:
+        extra["tar_cache_dtype"] = tar_cache_dtype
+    if oar_cache_dtype:
+        extra["oar_cache_dtype"] = oar_cache_dtype
+    cfg = ModelConfig(sample_method=sample, tar_mode=tar_mode,
+                      tar_cache_window=window,
+                      use_pallas_attention=False, **extra).scaled(scale)
+    model = UMGen(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = UMGenTrainer(model)
+    state = trainer.init_state(params)
+    state = ckpt_io.load_train_state(ckpt, state)
+    restored = dict(state.params)
+    if "buffers" not in restored:
+        restored["buffers"] = params["buffers"]
+    params = restored
+    if w8:
+        from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS,
+                                                quantize_params_int8)
+        params = quantize_params_int8(params, keys=ALL_STACK_KEYS)
+
+    data_root = os.path.join(os.path.dirname(ckpt.rstrip("/")), "synthetic")
+    ds = NuPlanTokenDataset(DataConfig(data_root=(data_root,),
+                                       block_size=cond + frames))
+    scene = ds[0]
+    cond_tokens = {m: np.asarray(scene[m])[None, :cond]
+                   for m in model.layout.mod_order}
+    gt = {m: np.asarray(scene[m])[None] for m in model.layout.mod_order}
+
+    gen = Generator(model, params, seed=0)
+    out = gen.generate(cond_tokens, new_frames=frames, cond_frames=window,
+                       input_cond_frames=cond, progress=True)
+    return out, gt, model
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--scale", default="tiny")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--cond", type=int, default=4)
+    ap.add_argument("--window", type=int, default=None,
+                    help="conditioning window (default: --cond; the slide "
+                         "begins at generated frame window-cond+1)")
+    ap.add_argument("--sample", default="greedy",
+                    choices=("greedy", "topk"))
+    args = ap.parse_args()
+    window = args.window or args.cond
+
+    import numpy as np
+
+    from umgen_tpu.data.pipeline import ScenePipeline
+    from umgen_tpu.ops.collision import BoxOverlap
+    from umgen_tpu.ops.metrics import MMDMetric
+
+    out_rc, gt, model = rollout(args.scale, "recompute", args.ckpt,
+                                args.cond, args.frames, window, args.sample)
+    out_tc, _, _ = rollout(args.scale, "temporal_cache", args.ckpt,
+                           args.cond, args.frames, window, args.sample)
+
+    # --- token agreement per generated frame, per modality --------------
+    per_frame = []
+    first_div = None
+    for t in range(args.frames):
+        row = {"frame": t + 1}
+        for m in model.layout.mod_order:
+            a = out_rc[m][0, args.cond + t]
+            b = out_tc[m][0, args.cond + t]
+            row[m] = round(float((a == b).mean()), 4)
+        per_frame.append(row)
+        if first_div is None and any(row[m] < 1.0
+                                     for m in model.layout.mod_order):
+            first_div = t + 1
+    agree_all = {m: round(float(np.mean([r[m] for r in per_frame])), 4)
+                 for m in model.layout.mod_order}
+
+    # --- quality metrics of each stream ---------------------------------
+    pipeline = ScenePipeline()
+    report = {"first_divergence_frame": first_div,
+              "mean_agreement": agree_all, "per_frame": per_frame}
+    if "bbox3d" in out_rc:
+        gt_b = gt["bbox3d"][0, args.cond:args.cond + args.frames]
+        gb, gc, gv = pipeline.decode_bboxes(gt_b)
+        for name, out in (("recompute", out_rc), ("temporal_cache", out_tc)):
+            pb, pc, pv = pipeline.decode_bboxes(
+                out["bbox3d"][0, args.cond:])
+            bo = BoxOverlap()
+            bo.update([pb[t][pv[t]] for t in range(pb.shape[0])])
+            mmd = MMDMetric()
+            n = min(len(gb), len(pb))
+            mmd.update(pb[:n][pv[:n]], pc[:n][pv[:n]],
+                       gb[:n][gv[:n]], gc[:n][gv[:n]])
+            report[name] = {"collision_rate": bo.average(),
+                            "mmd_vs_gt": mmd.average()}
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

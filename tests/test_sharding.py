@@ -140,6 +140,31 @@ def test_shard_map_dp_rollout_matches_unsharded(setup, chunked):
         assert agree >= 0.995, (m, agree)
 
 
+def test_shard_map_dp8_full_mesh(setup):
+    """dp=8 — the full virtual mesh width, one scene per device.  Backs the
+    multi-chip serving design note (PERFORMANCE.md roadmap item 5): dp over
+    scenes is the throughput-optimal scale-out; the per-device shard_map
+    program must stay correct at every mesh width, not just dp=2."""
+    cfg, model, params = setup
+    from dataclasses import replace
+    cfg_c = replace(cfg, tar_mode="temporal_cache")
+    model_c = UMGen(cfg_c)
+
+    cond = make_token_batch(model_c.layout, T=3, B=8, seed=6, config=cfg_c)
+    ref = Generator(model_c, params, seed=0).generate(
+        cond, new_frames=2, cond_frames=3, input_cond_frames=3)
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        gen = Generator(model_c, params, seed=0, mesh=mesh,
+                        spmd="shard_map")
+        out = gen.generate(cond, new_frames=2, cond_frames=3,
+                           input_cond_frames=3)
+    for m in model_c.layout.mod_order:
+        agree = (out[m][:, 3:] == ref[m][:, 3:]).mean()
+        assert agree >= 0.995, (m, agree)
+
+
 def test_shard_map_guards(setup):
     cfg, model, params = setup
     from dataclasses import replace
