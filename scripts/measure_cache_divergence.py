@@ -28,8 +28,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _w4_roundtrip(w):
+    """Simulate the fused kernel's W4A8 weight quantization: symmetric
+    int4 in [-7, 7] with one scale per (input-row group, output column)
+    (ops/decode_kernel._quantize_w4_groups), group size adapted to dims
+    smaller than 128 (tiny scale).  Returns dequantized fp weights — the
+    XLA path on these computes the same arithmetic as the w4 kernel."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    *lead, K, N = w.shape
+    G = min(128, K)
+    wg = w.reshape(*lead, K // G, G, N)
+    scale = np.maximum(np.abs(wg).max(axis=-2, keepdims=True) / 7.0, 1e-8)
+    q = np.clip(np.round(wg / scale), -7, 7)
+    return (q * scale).reshape(w.shape)
+
+
 def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
-            w8=False, tar_cache_dtype=None, oar_cache_dtype=None):
+            w8=False, tar_cache_dtype=None, oar_cache_dtype=None,
+            w4_sim=False):
     import jax
     import numpy as np
 
@@ -60,10 +78,27 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     if "buffers" not in restored:
         restored["buffers"] = params["buffers"]
     params = restored
+    if w4_sim:
+        # the w4 serving config: group-int4 OAR weights (simulated by
+        # dequantized round-trip), int8 everywhere else
+        oar = params["oar"]
+
+        def walk(t, name):
+            if isinstance(t, dict):
+                if "w" in t and name in ("qkv", "proj", "fc"):
+                    return {**t, "w": jax.numpy.asarray(
+                        _w4_roundtrip(t["w"]), t["w"].dtype)}
+                return {k: walk(v, k) for k, v in t.items()}
+            return t
+
+        params = dict(params)
+        params["oar"] = walk(oar, "oar")
     if w8:
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS,
                                                 quantize_params_int8)
-        params = quantize_params_int8(params, keys=ALL_STACK_KEYS)
+        keys = (tuple(k for k in ALL_STACK_KEYS if k != "oar")
+                if w4_sim else ALL_STACK_KEYS)
+        params = quantize_params_int8(params, keys=keys)
 
     data_root = os.path.join(os.path.dirname(ckpt.rstrip("/")), "synthetic")
     ds = NuPlanTokenDataset(DataConfig(data_root=(data_root,),

@@ -49,6 +49,11 @@ def main():
         "B_int8_weights": dict(w8=True),
         "C_serving_stack": dict(w8=True, tar_cache_dtype="int4",
                                 oar_cache_dtype="int8"),
+        # the W4A8 bench config: group-int4 OAR weights (simulated by a
+        # dequantized round-trip — same arithmetic as the w4 kernel),
+        # int8 elsewhere, int4 rings + int8 OAR KV
+        "D_w4_stack": dict(w8=True, w4_sim=True, tar_cache_dtype="int4",
+                           oar_cache_dtype="int8"),
     }
     outs, model, gt = {}, None, None
     for name, kw in configs.items():

@@ -23,10 +23,6 @@ say "r2c stage 2: recompute mode, B=2"
 UMGEN_BENCH_TAR_MODE=recompute UMGEN_BENCH_BATCH=2 \
     timeout 3000 python bench.py >> "$LOG" 2>&1
 
-say "r2c stage 3: B=8 win-8 bb=4 int8 weights, 30 frames (default candidate)"
-UMGEN_BENCH_BATCH=8 UMGEN_BENCH_WINDOW=8 UMGEN_BENCH_BATCH_BLOCK=4 \
-    UMGEN_BENCH_FRAMES=30 timeout 3600 python bench.py >> "$LOG" 2>&1
-
 say "r2c stage 4: train tiny checkpoint (300 steps, synthetic)"
 timeout 3000 python -m umgen_tpu.tools.train --model_scale tiny \
     --steps 300 --batch_size 4 --window 4 --synthetic_data 8 \

@@ -72,9 +72,16 @@ def main():
     cond = {m: np.asarray(scene[m])[None, :args.cond]
             for m in model.layout.mod_order}
 
+    import time
+
     gen = Generator(model, params, seed=0)
+    # warmup/compile pass, then a timed pass (wall clock includes the
+    # sequential host loop — the e2e signal we want)
+    gen.generate(cond, new_frames=1, input_cond_frames=-1)
+    t0 = time.perf_counter()
     gen.generate(cond, new_frames=args.frames, input_cond_frames=-1,
                  progress=True)
+    dt_spec = time.perf_counter() - t0
 
     chunks, acc = gen.spec_chunks, gen.spec_accepted
     spec_positions = chunks + acc
@@ -82,6 +89,21 @@ def main():
           f"({acc / max(chunks, 1):.2f} drafts/chunk at K={args.k})")
     print(f"OAR steps on speculative segments: {chunks} vs {spec_positions} "
           f"sequential → {spec_positions / max(chunks, 1):.2f}x fewer")
+    print(f"speculative wall: {dt_spec:.1f}s for {args.frames} frames "
+          f"({args.frames / dt_spec:.3f} f/s)")
+
+    # sequential comparison run (same checkpoint/seed, spec off)
+    cfg0 = ModelConfig(sample_method=args.sample, speculative_k=0,
+                       use_pallas_attention=False).scaled(args.scale)
+    model0 = UMGen(cfg0)
+    gen0 = Generator(model0, params, seed=0)
+    gen0.generate(cond, new_frames=1, input_cond_frames=-1)
+    t0 = time.perf_counter()
+    gen0.generate(cond, new_frames=args.frames, input_cond_frames=-1)
+    dt_seq = time.perf_counter() - t0
+    print(f"sequential wall: {dt_seq:.1f}s for {args.frames} frames "
+          f"({args.frames / dt_seq:.3f} f/s) → net e2e speedup "
+          f"{dt_seq / dt_spec:.2f}x")
     return 0
 
 

@@ -48,6 +48,7 @@ def test_greedy_spec_matches_sequential():
     assert agree >= 0.99, agree
 
 
+@pytest.mark.slow
 def test_greedy_spec_batch2():
     _, model, params, ro_seq = build(0)
     _, _, _, ro_spec = build(4)
@@ -61,6 +62,7 @@ def test_greedy_spec_batch2():
     assert (a == b).mean() >= 0.99
 
 
+@pytest.mark.slow
 def test_sampled_spec_valid_stream():
     """Top-k speculative decode: structural validity (separators, vocab
     ranges) and seed sensitivity."""
@@ -112,6 +114,7 @@ def build_rules(spec_k, sample_method="greedy", **over):
     return cfg, model, params, Rollout(model)
 
 
+@pytest.mark.slow
 def test_greedy_bbox_spec_matches_sequential_with_rules():
     """Greedy bbox speculation under the full decode rules (pad→TAR merge
     + collision rule constraint) must reproduce the sequential stream:
@@ -129,6 +132,7 @@ def test_greedy_bbox_spec_matches_sequential_with_rules():
     assert (a == b).mean() >= 0.99, (a == b).mean()
 
 
+@pytest.mark.slow
 def test_greedy_bbox_spec_with_agent_control():
     """Control-overridden slots draft AND verify from the pad-masked TAR
     head (always accepted) — the streams must still agree."""
@@ -147,6 +151,7 @@ def test_greedy_bbox_spec_with_agent_control():
     assert (a == b).mean() >= 0.99, (a == b).mean()
 
 
+@pytest.mark.slow
 def test_bbox_spec_disable_flag():
     """speculative_bbox=False keeps the bbox segment sequential (fewer
     verify chunks) while map/image stay speculative."""
@@ -163,6 +168,7 @@ def test_bbox_spec_disable_flag():
     assert int(out_on.spec_chunks) > int(out_off.spec_chunks)
 
 
+@pytest.mark.slow
 def test_sampled_bbox_spec_valid_stream():
     """Top-k bbox speculation: structural validity of the bbox segment."""
     cfg, model, params, ro = build_rules(4, sample_method="topk")

@@ -80,6 +80,7 @@ def _gen_pair(sample_method):
     return out_r, out_c
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sample_method", ["greedy", "topk"])
 def test_cached_generation_matches_recompute(sample_method):
     """The two paths are mathematically identical pre-slide, but different
@@ -216,6 +217,7 @@ def test_cached_int4_runs_and_tracks_fp32():
     assert agree > 0.5
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_full():
     """Frame-by-frame ring ingestion produces the same generation as the
     full-window prefill program (identical math + RNG path)."""
