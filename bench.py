@@ -18,13 +18,18 @@ of the PyTorch reference on one A100:
 
 Environment knobs:
   UMGEN_BENCH_SCALE     larger (default) | stander | debug | tiny
-  UMGEN_BENCH_FRAMES    measured frames (default 4, + 1 warmup)
-  UMGEN_BENCH_BATCH     parallel scenes (default 3)
+  UMGEN_BENCH_FRAMES    measured frames (default 30 — the flagship rollout
+                        length, + warmup)
+  UMGEN_BENCH_BATCH     parallel scenes (default 8)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  TAR-ring storage: int4 (default; nibble-packed with
                         per-frame-head scales) | float8_e4m3fn | bfloat16
-  UMGEN_BENCH_W8        int8 weight-only OAR quantization (default 1; the
-                        serving config — per-matmul rel err < 2%)
+  UMGEN_BENCH_W8        int8 weight-only quantization of the non-OAR stacks
+                        (default 1; per-matmul rel err < 2%)
+  UMGEN_BENCH_W4        group-128 int4 OAR weights via the fused w4 kernel
+                        (default 1 on TPU — measured compound quality budget
+                        on a trained checkpoint in PERFORMANCE.md; set 0 for
+                        the int8 stack)
 """
 
 import json
@@ -45,19 +50,22 @@ def main():
     from umgen_tpu.models.umgen import UMGen
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
-    n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "4"))
-    # default serving config: 4 parallel scenes at the faithful 20-frame
-    # window, int4 TAR rings + int8 OAR cache, int8 weights, chunked
-    # prefill (the rings cap the per-chip batch; int4 + frame-by-frame
-    # prefill fit B=4 full-window in 16 GB)
-    B = int(os.environ.get("UMGEN_BENCH_BATCH", "4"))
+    n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "30"))
+    # default serving config (best measured, PERFORMANCE.md 2026-08-20):
+    # 8 parallel scenes, 8-frame ring window, int4 TAR rings + int8 OAR
+    # cache, W4A8 fused decode with a 4-scene batch-split kernel grid,
+    # chunked prefill — 1.836 f/s/chip over a 30-frame rollout
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "8"))
     tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
     kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "int4")
     T = 20                      # flagship conditioning window
 
     pos_unroll = int(os.environ.get("UMGEN_BENCH_POS_UNROLL", "1"))
-    window = os.environ.get("UMGEN_BENCH_WINDOW")
-    # fused v5 decode kernel (flat int8 KV) is the default serving config on TPU
+    # 8-frame ring window: what fits B=8 in 16 GB HBM (win-8 B=8 measures
+    # 1.836 f/s vs win-20 B=4's 1.51; full-window is the quality knob —
+    # UMGEN_BENCH_WINDOW=20)
+    window = os.environ.get("UMGEN_BENCH_WINDOW", "8" if B >= 6 else "")
+    # fused decode kernel (flat int8 KV) is the default serving config on TPU
     import jax as _jax
     fused_default = "1" if _jax.default_backend() == "tpu" else "0"
     fused = os.environ.get("UMGEN_BENCH_FUSED", fused_default) == "1"
@@ -77,16 +85,31 @@ def main():
                       speculative_bbox=os.environ.get(
                           "UMGEN_BENCH_SPEC_BBOX", "1") == "1",
                       # batch-group size for the fused kernel's innermost
-                      # grid dim (needed to fit VMEM at B=8; 0 = whole batch)
+                      # grid dim (needed to fit VMEM at B=8; 0 = whole
+                      # batch; bb=4 beats bb=2 at B=8 — fewer weight
+                      # re-streams per step)
                       oar_batch_block=int(os.environ.get(
-                          "UMGEN_BENCH_BATCH_BLOCK", "0")),
+                          "UMGEN_BENCH_BATCH_BLOCK",
+                          "4" if fused and B > 4 else "0")),
                       fused_oar_kernel=fused).scaled(scale)
+    if cfg.n_embd < 128 and "UMGEN_BENCH_FUSED" not in os.environ:
+        # the fused kernels (and group-128 W4 packing) need >=128-lane
+        # dims; small scales (tiny n_embd=64) fall back to the XLA path
+        from dataclasses import replace as dc_replace
+        fused = False
+        cfg = dc_replace(cfg, fused_oar_kernel=False)
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
     w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
     w8 = w8_mode in ("1", "all")
-    w4 = os.environ.get("UMGEN_BENCH_W4", "0") == "1"
+    # W4A8 OAR weights need the fused w4 kernel; default on (best measured:
+    # +6% over int8 at B=8 — quality budget on a trained checkpoint in
+    # PERFORMANCE.md)
+    w4 = os.environ.get("UMGEN_BENCH_W4", "1" if fused else "0") == "1"
+    if w4 and not fused:
+        raise SystemExit("UMGEN_BENCH_W4=1 requires the fused kernel "
+                         "(UMGEN_BENCH_FUSED=1)")
     raw_oar = params["oar"] if w4 else None
     if w8:
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
@@ -172,7 +195,8 @@ def main():
     result = {
         "metric": "frames_per_sec_per_chip",
         "value": round(fps_chip, 4),
-        "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}, "
+        "unit": f"frames/s/chip (UMGen_{scale} rollout, B={B}, T={T}"
+                f"{f', win={window}' if window else ''}, "
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
                 f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"

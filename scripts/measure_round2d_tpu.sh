@@ -18,7 +18,8 @@ timeout 300 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1 \
 
 say "r2d stage 1: B=8 win-8 bb=4 + int4 OAR KV (v5i4 batch-split)"
 UMGEN_BENCH_BATCH=8 UMGEN_BENCH_WINDOW=8 UMGEN_BENCH_BATCH_BLOCK=4 \
-    UMGEN_BENCH_OAR_KV=int4 timeout 2700 python bench.py >> "$LOG" 2>&1
+    UMGEN_BENCH_W4=0 UMGEN_BENCH_OAR_KV=int4 timeout 2700 python bench.py \
+    >> "$LOG" 2>&1
 
 say "r2d stage 2: B=8 win-8 bb=4 + W4 + int4 OAR KV (w4i4 batch-split)"
 UMGEN_BENCH_BATCH=8 UMGEN_BENCH_WINDOW=8 UMGEN_BENCH_BATCH_BLOCK=4 \
