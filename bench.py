@@ -24,12 +24,20 @@ Environment knobs:
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  TAR-ring storage: int4 (default; nibble-packed with
                         per-frame-head scales) | float8_e4m3fn | bfloat16
-  UMGEN_BENCH_W8        int8 weight-only quantization of the non-OAR stacks
-                        (default 1; per-matmul rel err < 2%)
+  UMGEN_BENCH_W8        int8 weight-only quantization (default "all" = every
+                        stack; "1" also selects all stacks; "decode" = only
+                        the decode-path stacks; per-matmul rel err < 2%)
   UMGEN_BENCH_W4        group-128 int4 OAR weights via the fused w4 kernel
-                        (default 1 on TPU — measured compound quality budget
-                        on a trained checkpoint in PERFORMANCE.md; set 0 for
+                        (default 1 on TPU; per-matmul rel err 4-8% — the
+                        measured end-to-end budget on a trained checkpoint
+                        is in PERFORMANCE.md "Quality budget of the
+                        serving defaults": bbox stream bit-identical,
+                        pose >= 0.99, collision/MMD unchanged; set 0 for
                         the int8 stack)
+  UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 0 =
+                        sequential decode; K>0 drafts from the TAR prior
+                        and verifies chunks via the fused multi-query
+                        kernels)
 """
 
 import json
@@ -69,7 +77,8 @@ def main():
     import jax as _jax
     fused_default = "1" if _jax.default_backend() == "tpu" else "0"
     fused = os.environ.get("UMGEN_BENCH_FUSED", fused_default) == "1"
-    # the OAR cache supports bf16/fp8/int8 (int4 is a TAR-ring-only format)
+    # the OAR cache supports bf16/fp8/int8/int4 (int4 via the v5i4/w4i4
+    # kernels — a memory knob: measured slightly slower than int8)
     oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
                             "int8" if fused or kv_dtype == "int4"
                             else kv_dtype)
@@ -87,10 +96,13 @@ def main():
                       # batch-group size for the fused kernel's innermost
                       # grid dim (needed to fit VMEM at B=8; 0 = whole
                       # batch; bb=4 beats bb=2 at B=8 — fewer weight
-                      # re-streams per step)
+                      # re-streams per step).  Default: the largest
+                      # divisor of B that is <= 4, so B=6 runs bb=2
+                      # instead of erroring on a non-divisor.
                       oar_batch_block=int(os.environ.get(
                           "UMGEN_BENCH_BATCH_BLOCK",
-                          "4" if fused and B > 4 else "0")),
+                          str((4 if B % 4 == 0 else 2 if B % 2 == 0 else 0)
+                              if fused and B > 4 else 0))),
                       fused_oar_kernel=fused).scaled(scale)
     if cfg.n_embd < 128 and "UMGEN_BENCH_FUSED" not in os.environ:
         # the fused kernels (and group-128 W4 packing) need >=128-lane
@@ -102,7 +114,9 @@ def main():
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
     w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
-    w8 = w8_mode in ("1", "all")
+    # "1" and "all" both mean every stack; "decode" restricts to the
+    # decode-path stacks (the historical W8=1 meaning)
+    w8 = w8_mode in ("1", "all", "decode")
     # W4A8 OAR weights need the fused w4 kernel; default on (best measured:
     # +6% over int8 at B=8 — quality budget on a trained checkpoint in
     # PERFORMANCE.md)
@@ -115,7 +129,8 @@ def main():
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
                                                 quantize_params_int8)
         params = quantize_params_int8(
-            params, keys=ALL_STACK_KEYS if w8_mode == "all" else DECODE_KEYS)
+            params, keys=DECODE_KEYS if w8_mode == "decode"
+            else ALL_STACK_KEYS)
         if cfg.fused_oar_kernel and w4:
             from umgen_tpu.runtime.quantize import pack_fused_w4
             params = pack_fused_w4(params, raw_oar)

@@ -78,9 +78,11 @@ def main():
     # warmup/compile pass, then a timed pass (wall clock includes the
     # sequential host loop — the e2e signal we want)
     gen.generate(cond, new_frames=1, input_cond_frames=-1)
+    # the telemetry counters are cumulative — drop the warmup's
+    # contribution so chunks/accepted correspond to args.frames
+    gen.spec_chunks = gen.spec_accepted = 0
     t0 = time.perf_counter()
-    gen.generate(cond, new_frames=args.frames, input_cond_frames=-1,
-                 progress=True)
+    gen.generate(cond, new_frames=args.frames, input_cond_frames=-1)
     dt_spec = time.perf_counter() - t0
 
     chunks, acc = gen.spec_chunks, gen.spec_accepted

@@ -717,12 +717,13 @@ def test_oar_step_dispatches_multiquery_kernels(interpret_kernels,
     assert hits == ["mq", "mqi4"] and h.shape == (B, Q, 768)
     assert kk.packed.shape == (2, B, S, HD // 2)
 
-    # with the batch-split knob the mq kernels must NOT engage (no
-    # batch-split grid; whole-batch blocks OOM at the B that needs it)
+    # with the batch-split knob the mq kernels still engage (they grew
+    # a batch-split grid in round 3 — what lets speculative decoding
+    # compose with the B=8 bb=4 serving default)
     hits.clear()
     ro_bb, _, pq_bb, _ = _mk_quantized_rollout("int8", oar_batch_block=2)
     ro_bb.oar_step(pq_bb, x, kv8, kv8, cl)
-    assert hits == []
+    assert hits == ["mq"]
 
 
 def test_rollout_speculative_guards():
@@ -737,11 +738,15 @@ def test_rollout_speculative_guards():
         Rollout(UMGen(ModelConfig(speculative_k=16, oar_cache_dtype="int4",
                                   fused_oar_kernel=True)))
     with _pytest.raises(ValueError, match="oar_batch_block"):
-        Rollout(UMGen(ModelConfig(speculative_k=8, fused_oar_kernel=True,
+        # batch-split speculation needs the fused batch-split mq kernels
+        Rollout(UMGen(ModelConfig(speculative_k=8, fused_oar_kernel=False,
                                   oar_batch_block=2)))
     # allowed: int4 + speculative with fused kernels on
     Rollout(UMGen(ModelConfig(speculative_k=8, oar_cache_dtype="int4",
                               fused_oar_kernel=True)))
+    # allowed since round 3: speculative + batch-split with fused kernels
+    Rollout(UMGen(ModelConfig(speculative_k=8, fused_oar_kernel=True,
+                              oar_batch_block=2)))
 
 
 @pytest.mark.parametrize("Q,cl", [(8, 300), (4, 0)])
@@ -788,3 +793,48 @@ def test_w4mq_interpret_matches_xla(interpret_kernels, Q, cl):
     h_f = nn.layer_norm(params["ln_oar"], h_f)
     b = np.asarray(h_f, np.float32)
     assert np.abs(a - b).max() / np.abs(a).max() < 0.13
+
+
+@pytest.mark.parametrize("kernel", ["v5mq", "w4mq", "v5mqi4", "w4mqi4"])
+def test_mq_batch_block_matches_whole_batch(interpret_kernels, kernel):
+    """The batch-split grid of the multi-query kernels must be bit-exact
+    vs their whole-batch path (which is itself parity-tested vs XLA) —
+    this is what lets speculative decoding compose with the B=8 bb=4
+    serving default."""
+    from umgen_tpu.ops import decode_kernel as dk
+
+    cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
+    d = cfg.n_embd
+    params = {"oar": nn.init_stack(jax.random.PRNGKey(0), 2,
+                                   nn.init_block_oar, d, cfg.bias,
+                                   jnp.bfloat16)}
+    w4 = kernel.startswith("w4")
+    int4 = kernel.endswith("i4")
+    packed = (dk.pack_fused_oar_w4(params["oar"]) if w4
+              else dk.pack_fused_oar(quantize_params_int8(params)["oar"]))
+    B, S, Q, cl = 4, 512, 8, 300
+    H, Dh = cfg.n_head, cfg.head_dim
+    HD = H * Dh
+    rng = np.random.default_rng(1)
+    kv_bf = jnp.asarray(rng.normal(0, 0.5, (2, B, S, HD)), jnp.bfloat16)
+    vv_bf = jnp.asarray(rng.normal(0, 0.5, kv_bf.shape), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (B, Q, d)), jnp.bfloat16)
+    fn = getattr(dk, f"fused_decode_step_{kernel}")
+    if int4:
+        kp, ks = dk.quantize_kv_int4(kv_bf, H)
+        vp, vs = dk.quantize_kv_int4(vv_bf, H)
+        whole = fn(packed, x, kp, vp, ks, vs, jnp.int32(cl), n_head=H)
+        split = fn(packed, x, kp, vp, ks, vs, jnp.int32(cl), n_head=H,
+                   batch_block=2)
+    else:
+        kv8 = jnp.clip(jnp.round(kv_bf.astype(jnp.float32)
+                                 * dk.KV_INT8_SCALE),
+                       -127, 127).astype(jnp.int8)
+        vv8 = jnp.clip(jnp.round(vv_bf.astype(jnp.float32)
+                                 * dk.KV_INT8_SCALE),
+                       -127, 127).astype(jnp.int8)
+        whole = fn(packed, x, kv8, vv8, jnp.int32(cl), n_head=H)
+        split = fn(packed, x, kv8, vv8, jnp.int32(cl), n_head=H,
+                   batch_block=2)
+    for w, s in zip(whole, split):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(s))

@@ -177,3 +177,26 @@ def test_shard_map_guards(setup):
                   spmd="shard_map")
     with pytest.raises(ValueError, match="mesh"):
         Generator(model, params, spmd="shard_map")
+
+
+def test_shard_map_forced_streams_dp2(setup):
+    """init_token_mod replay through the shard_map dp path (VERDICT r2
+    task 6): forced modalities are per-scene token streams sharded over
+    dp like any other input; the forced frames must be byte-equal to GT
+    on every scene shard."""
+    cfg, model, params = setup
+    from dataclasses import replace
+    cfg_c = replace(cfg, tar_mode="temporal_cache")
+    model_c = UMGen(cfg_c)
+
+    cond = make_token_batch(model_c.layout, T=5, B=4, seed=9, config=cfg_c)
+    forced = {"map": cond["map"][:, 3:5]}
+    mesh = make_mesh(dp=2, tp=1)
+    with mesh:
+        gen = Generator(model_c, params, seed=0, mesh=mesh,
+                        spmd="shard_map")
+        out = gen.generate(cond, new_frames=2, cond_frames=3,
+                           input_cond_frames=3, forced_streams=forced)
+    np.testing.assert_array_equal(out["map"][:, 3:5], cond["map"][:, 3:5])
+    # un-forced modalities are sampled, not copied
+    assert not np.array_equal(out["image"][:, 3:5], cond["image"][:, 3:5])

@@ -191,6 +191,16 @@ class ModelConfig:
     # scene at the larger scale), enabling batched cached rollouts on one
     # chip.
     tar_cache_window: Optional[int] = None
+    # ring-exactness refresh: every N generated frames, rebuild the
+    # ego/TAR rings by re-ingesting the last `window` frames with
+    # window-relative indices — the frame decoded right after a refresh
+    # sees EXACTLY the reference's sliding-window recompute semantics
+    # (ref:UMGen.py:1600-1603), bounding the documented
+    # StreamingLLM-style post-slide drift to at most N frames.  Cost:
+    # (window-1) cascade ingests per refresh (~one recompute frame every
+    # N frames).  0 = never refresh (pure ring retention, the fastest
+    # serving default); 1 = exact sliding window every frame.
+    tar_cache_refresh: int = 0
     # experimental single-launch Pallas decode step (ops/decode_kernel);
     # currently slower than the XLA path on v5e — off by default
     fused_oar_kernel: bool = False

@@ -143,17 +143,24 @@ class Generator:
 
             def make(fn, variant, n_state):
                 # n_state: trailing state args before the override args —
-                # prefill: (rng,), cached step: (cache, rng)
+                # prefill: (rng,), cached step: (cache, rng).  The last
+                # arg is always the forced-tokens dict (init_token_mod
+                # replay): per-scene [B, len] streams sharded over dp
+                # like every other token input ({} = none; a pytree
+                # PREFIX spec broadcasts P("dp") over whatever modality
+                # set a frame forces, so jit just specializes per set).
                 def body(params, x, *rest):
-                    state, ov = rest[:n_state], rest[n_state:]
+                    state, ov, fd = (rest[:n_state], rest[n_state:-1],
+                                     rest[-1])
                     res, cache = fn(params, x, *state[:-1],
                                     dp_rng(state[-1]),
+                                    forced_tokens=fd,
                                     **kw_of(variant, ov))
                     return tele(res), cache
 
                 n_cache = n_state - 1
                 in_specs = ((P(), dspec) + (cspec,) * n_cache + (P(),)
-                            + ov_specs[variant])
+                            + ov_specs[variant] + (P("dp"),))
                 f = sm(body, in_specs=in_specs, out_specs=(rspec, cspec))
                 return jax.jit(f, donate_argnums=(2,) if n_cache else ())
 
@@ -225,10 +232,6 @@ class Generator:
         against per-layer temporal KV rings: the conditioning window is
         ingested once, then each frame pushes only its own tokens through
         the stacks (~12x fewer TAR FLOPs at the larger scale)."""
-        if forced_streams is not None and self.spmd == "shard_map":
-            raise NotImplementedError(
-                "forced_streams (init_token_mod) is not wired through the "
-                "shard_map serving path; use the default gspmd path")
         if forced_streams and "pose" in forced_streams:
             # forcing the ego action rides the existing trajectory-control
             # path (pose_override)
@@ -282,6 +285,19 @@ class Generator:
                         and idx < init["bbox3d"].shape[1]:
                     control_bbox = jnp.asarray(init["bbox3d"][:, idx],
                                                dtype=jnp.int32)
+                    # the reference's overwrite of the newest window
+                    # frame is an in-place mutation that PERSISTS as the
+                    # window slides (ref:UMGen.py:1464-1467 writes into
+                    # the cond_tokens tensor) — mirror it on the host
+                    # copy so frames keep their overrides after leaving
+                    # position -1
+                    cb = np.asarray(init["bbox3d"][:, idx])
+                    valid = cb != -1
+                    b3 = cond["bbox3d"].copy()
+                    last = b3[:, -1]
+                    last[valid] = cb[valid]
+                    b3[:, -1] = last
+                    cond["bbox3d"] = b3
                 frame_control = True
             elif init is not None:
                 # init pose exhausted → control off for remaining frames
@@ -350,23 +366,24 @@ class Generator:
 
             def call_prefill(p, inp, rng, pose_override=None,
                              control_bbox=None, forced_tokens=None):
-                assert not forced_tokens  # guarded in generate()
+                fd = forced_tokens or {}
                 if control_bbox is not None:
                     return sm["prefillpb"](p, inp, rng, pose_override,
-                                           control_bbox)
+                                           control_bbox, fd)
                 if pose_override is not None:
-                    return sm["prefillp"](p, inp, rng, pose_override)
-                return sm["prefill"](p, inp, rng)
+                    return sm["prefillp"](p, inp, rng, pose_override, fd)
+                return sm["prefill"](p, inp, rng, fd)
 
             def call_step(p, newest, cache, rng, pose_override=None,
                           control_bbox=None, forced_tokens=None):
-                assert not forced_tokens  # guarded in generate()
+                fd = forced_tokens or {}
                 if control_bbox is not None:
                     return sm["steppb"](p, newest, cache, rng,
-                                        pose_override, control_bbox)
+                                        pose_override, control_bbox, fd)
                 if pose_override is not None:
-                    return sm["stepp"](p, newest, cache, rng, pose_override)
-                return sm["step"](p, newest, cache, rng)
+                    return sm["stepp"](p, newest, cache, rng, pose_override,
+                                       fd)
+                return sm["step"](p, newest, cache, rng, fd)
         else:
             prefill = jax.jit(
                 self._constrained(self.rollout.frame_step_prefill))
@@ -392,6 +409,19 @@ class Generator:
             import tqdm
             frames = tqdm.tqdm(frames, desc="rollout(cached)")
 
+        # ring-exactness refresh (config.tar_cache_refresh = N): every N
+        # frames rebuild the rings from the last `window` frames with
+        # window-relative indices, so the next decode sees exactly the
+        # reference's sliding-window recompute semantics.  `hist` mirrors
+        # the window frames beneath `newest` on the host (post
+        # control-override — the canonical window content).
+        import collections
+        window = self.model.config.tar_cache_window \
+            or self.model.config.cond_frame
+        refresh = self.model.config.tar_cache_refresh
+        hist = collections.deque(maxlen=max(window - 1, 1))
+        pending_h = None                 # host frame awaiting ingestion
+
         cache = None
         newest = None
         sl = lo.slices()
@@ -411,24 +441,27 @@ class Generator:
             fd = {m: jnp.asarray(v[:, idx], jnp.int32)
                   for m, v in forced.items() if idx < v.shape[1]}
 
+            if control_bbox is not None and pending_h is not None \
+                    and "bbox3d" in pending_h:
+                # persistent window mutation (ref:UMGen.py:1464-1467):
+                # keep the host mirror identical to what the in-graph
+                # override bakes into the rings this step
+                cb = np.asarray(control_bbox)[:, None]
+                pending_h = dict(pending_h)
+                pending_h["bbox3d"] = np.where(cb != -1, cb,
+                                               pending_h["bbox3d"])
+
             self.rng, step_rng = jax.random.split(self.rng)
             if idx == 0:
                 dev_inputs = self._place_inputs(
                     {m: jnp.asarray(out[m], dtype=jnp.int32) for m in mods})
                 T0 = dev_inputs["pose"].shape[1]
+                B0 = dev_inputs["pose"].shape[0]
                 if self.model.config.chunked_prefill and T0 > 1:
                     # frame-by-frame ring ingestion: peak memory is one
                     # frame's activations, not the [B, T, S, D] window
-                    B0 = dev_inputs["pose"].shape[0]
-                    if self.spmd == "shard_map":
-                        ingest = sm["ingest"]
-                        cache = sm["cache_init"](B0)
-                    else:
-                        ingest = jax.jit(self._constrained_cache(
-                            self.rollout.ingest_frame), donate_argnums=(3,))
-                        cache = jax.jit(
-                            self._constrained_cache(
-                                lambda: self.model.init_tar_cache(B0)))()
+                    ingest, cache_init = self._ingest_fns()
+                    cache = cache_init(B0)
                     for t in range(T0 - 1):
                         frame_t = {m: dev_inputs[m][:, t:t + 1]
                                    for m in mods}
@@ -446,21 +479,60 @@ class Generator:
                                               pose_override=pose_override,
                                               control_bbox=control_bbox,
                                               forced_tokens=fd)
+                if refresh:
+                    # host mirror of the ingested window (override on the
+                    # newest cond frame already applied in-graph — mirror
+                    # it here)
+                    for t in range(T0):
+                        hist.append({m: np.asarray(out[m][:, t:t + 1])
+                                     for m in mods})
+                    if control_bbox is not None:
+                        cb = np.asarray(control_bbox)[:, None]
+                        lastf = dict(hist[-1])
+                        lastf["bbox3d"] = np.where(cb != -1, cb,
+                                                   lastf["bbox3d"])
+                        hist[-1] = lastf
             else:
+                if (refresh and idx % refresh == 0
+                        and len(hist) == window - 1
+                        and T0 + idx > window):
+                    # (T0 + idx = frames ingested after this step's
+                    # ingestion — once it exceeds the window the ring
+                    # has slid and absolute-index PEs diverge from the
+                    # window-relative recompute semantics)
+                    # rebuild the rings from the exact last-`window`
+                    # frames with window-relative indices: the frame
+                    # decoded now sees recompute semantics
+                    # (ref:UMGen.py:1600-1603)
+                    ingest, cache_init = self._ingest_fns()
+                    cache = None          # free before the fresh rings
+                    cache = cache_init(B0)
+                    hl = list(hist)
+                    for i, f in enumerate(hl):
+                        nxt = (hl[i + 1]["pose"] if i + 1 < len(hl)
+                               else pending_h["pose"])
+                        dev_f = self._place_inputs(
+                            {m: jnp.asarray(v, jnp.int32)
+                             for m, v in f.items()})
+                        dev_p = self._place_inputs(
+                            {"pose": jnp.asarray(nxt[:, 0], jnp.int32)}
+                        )["pose"]
+                        cache = ingest(self.params, dev_f, dev_p, cache)
+                newest = self._place_inputs(
+                    {m: jnp.asarray(pending_h[m], jnp.int32) for m in mods})
                 res, cache = call_step(self.params, newest, cache,
                                        step_rng,
                                        pose_override=pose_override,
                                        control_bbox=control_bbox,
                                        forced_tokens=fd)
+                hist.append(pending_h)
 
             tokens = np.asarray(jax.device_get(res.tokens))
             self.spec_chunks += int(res.spec_chunks)
             self.spec_accepted += int(res.spec_accepted)
             frame = {m: tokens[:, sl[m]] for m in mods}
             # the generated frame becomes the next step's ingested raw frame
-            newest = self._place_inputs(
-                {m: jnp.asarray(frame[m][:, None], jnp.int32)
-                 for m in mods})
+            pending_h = {m: frame[m][:, None] for m in mods}
             for m in mods:
                 if frame_control and init is not None and m == "pose":
                     new = np.asarray(pose_override)[:, None]
@@ -469,3 +541,23 @@ class Generator:
                 out[m] = np.concatenate([out[m], new], axis=1)
 
         return out
+
+    def _ingest_fns(self):
+        """(ingest, cache_init) for chunked prefill and ring refresh —
+        per-spmd-mode, cached across calls."""
+        fns = self._step_cache.get("ingest_fns")
+        if fns is None:
+            if self.spmd == "shard_map":
+                sm = self._sm_cached_fns()
+                fns = (sm["ingest"], sm["cache_init"])
+            else:
+                ingest = jax.jit(self._constrained_cache(
+                    self.rollout.ingest_frame), donate_argnums=(3,))
+
+                def cache_init(B0):
+                    return jax.jit(self._constrained_cache(
+                        lambda: self.model.init_tar_cache(B0)))()
+
+                fns = (ingest, cache_init)
+            self._step_cache["ingest_fns"] = fns
+        return fns

@@ -145,14 +145,14 @@ class Rollout:
                 "speculative_k * n_head must be <= 128 with the int4 OAR "
                 "cache (v5mqi4 lane-packs the queries; larger chunks "
                 "would fall back to the pathological XLA int4 body)")
-        if cfg.speculative_k > 0 and cfg.oar_batch_block:
-            # the multi-query verify kernels have no batch-split grid:
-            # at the batch sizes that need oar_batch_block their
-            # whole-batch blocks do not fit VMEM
+        if cfg.speculative_k > 0 and cfg.oar_batch_block \
+                and not cfg.fused_oar_kernel:
+            # without the fused kernels the batch-split knob has nothing
+            # to act on, and the XLA multi-query body runs whole-batch
             raise ValueError(
-                "speculative_k > 0 is not supported together with "
-                "oar_batch_block (the fused multi-query verify kernels "
-                "run whole-batch); drop one of the two")
+                "speculative_k > 0 with oar_batch_block requires "
+                "fused_oar_kernel=True (the batch-split multi-query "
+                "verify kernels); drop one of the two")
         # ego box used by the collision rule (ref:UMGen.py:1320-1336)
         ego = EGO_WHL["nuplan"]
         self._ego_box = np.array(
@@ -245,17 +245,21 @@ class Rollout:
                     n_head=n_head)
             return nn.layer_norm(params["ln_oar"], h), kv_k, kv_v
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
-                and not cfg.oar_batch_block
                 and "oar_packed" in params
                 and kv_k.ndim == 4 and kv_k.dtype == jnp.int8):
             # multi-query verify chunks (speculative decoding) ride the
             # fused v5mq/w4mq kernels: all Q queries share one weight +
             # KV stream instead of paying the XLA body's per-layer cache
-            # relayout/dequant per chunk
+            # relayout/dequant per chunk.  oar_batch_block (the large-B
+            # VMEM knob) splits the KV stream into batch groups exactly
+            # as in the sequential kernels.
             from umgen_tpu.ops import decode_kernel as dk
             fused = (dk.fused_decode_step_w4mq
                      if "wqp4" in params["oar_packed"]
                      else dk.fused_decode_step_v5mq)
+            if cfg.oar_batch_block:
+                fused = functools.partial(
+                    fused, batch_block=cfg.oar_batch_block)
             h, kv_k, kv_v = fused(
                 params["oar_packed"], x, kv_k, kv_v, cache_len,
                 n_head=n_head)
@@ -341,7 +345,6 @@ class Rollout:
         n_head = cfg.n_head
         B, Q, D = x.shape
         if (cfg.fused_oar_kernel and Q > 1 and Q * n_head <= 128
-                and not cfg.oar_batch_block
                 and "oar_packed" in params):
             # speculative verify chunks on the int4 cache ride the fused
             # multi-query kernels — the XLA body below dequantizes the
@@ -350,6 +353,9 @@ class Rollout:
             fused = (fused_decode_step_w4mqi4
                      if "wqp4" in params["oar_packed"]
                      else fused_decode_step_v5mqi4)
+            if cfg.oar_batch_block:
+                fused = functools.partial(
+                    fused, batch_block=cfg.oar_batch_block)
             h, kp, vp, ks, vs = fused(
                 params["oar_packed"], x, kv_k.packed, kv_v.packed,
                 kv_k.scale, kv_v.scale, cache_len, n_head=n_head)
@@ -974,6 +980,23 @@ class Rollout:
         B, T = inputs["pose"].shape[:2]
         rng, ego_rng = jax.random.split(rng)
 
+        # Agent-control overwrite of the newest window frame BEFORE any
+        # ring ingestion: the reference mutates its window copy in place
+        # (ref:UMGen.py:1464-1467), so the overwrite persists for every
+        # LATER step's ego/TAR inputs.  The reference's ego net at THIS
+        # step sees the pre-overwrite window, but under agent control the
+        # ego output is always overridden by the trajectory pose, so
+        # ingesting the overwritten frame is observably identical — and
+        # makes the rings bit-match the reference window from then on.
+        if "bbox3d" in inputs:
+            last_bbox, control_mask = self._control_setup(
+                inputs["bbox3d"][:, -1], control_bbox, B)
+            inputs = dict(inputs)
+            inputs["bbox3d"] = inputs["bbox3d"].at[:, -1].set(last_bbox)
+        else:
+            last_bbox = None
+            control_mask = jnp.zeros((B, 61), bool)
+
         cache: Dict = {}
         ego_logits, cache = model.prefill_ego_cache(params, inputs, cache)
         if pose_override is None:
@@ -984,13 +1007,6 @@ class Rollout:
         shifted = dict(inputs)
         shifted["pose"] = jnp.concatenate(
             [inputs["pose"], ego_tokens[:, None, :]], axis=1)[:, 1:]
-        if "bbox3d" in shifted:
-            last_bbox, control_mask = self._control_setup(
-                shifted["bbox3d"][:, -1], control_bbox, B)
-            shifted["bbox3d"] = shifted["bbox3d"].at[:, -1].set(last_bbox)
-        else:
-            last_bbox = None
-            control_mask = jnp.zeros((B, 61), bool)
 
         pri = model.prefill_tar_caches(params, shifted, cache)
         cache = pri["cache"]
@@ -1033,15 +1049,29 @@ class Rollout:
         generated by the previous step, pose = motion into it) and decode
         the next frame.  newest_frame: {mod: [B, 1, len]}.
 
-        Control note: under agent control the overwritten bbox tokens are
-        baked into the rings at ingestion (the reference re-overwrites the
-        window copy each step instead, ref:UMGen.py:1464-1467) — use
-        tar_mode="recompute" when bit-faithful control replay matters.
+        Control note: the agent-control overwrite of the newest frame is
+        applied BEFORE ego/TAR ring ingestion, reproducing the
+        reference's persistent in-place window mutation
+        (ref:UMGen.py:1464-1467): every later step's ego and TAR inputs
+        see the overwritten tokens.  The reference's ego net at THIS
+        step sees the pre-overwrite window, but under agent control the
+        ego output is replaced by the trajectory pose, so the
+        distinction is observably dead — the rings bit-match the
+        reference window for every step whose ego output is used.
         Returns (FrameOutputs, cache)."""
         model = self.model
         B = newest_frame["pose"].shape[0]
         abs_frame = cache["frames"]          # index of the ingested frame
         rng, ego_rng = jax.random.split(rng)
+
+        if "bbox3d" in newest_frame:
+            last_bbox, control_mask = self._control_setup(
+                newest_frame["bbox3d"][:, 0], control_bbox, B)
+            newest_frame = dict(newest_frame)
+            newest_frame["bbox3d"] = last_bbox[:, None, :]
+        else:
+            last_bbox = None
+            control_mask = jnp.zeros((B, 61), bool)
 
         ego_logits, cache = model.ego_logits_cached(params, newest_frame,
                                                     cache, abs_frame)
@@ -1052,13 +1082,6 @@ class Rollout:
 
         shifted_frame = dict(newest_frame)
         shifted_frame["pose"] = ego_tokens[:, None, :]
-        if "bbox3d" in newest_frame:
-            last_bbox, control_mask = self._control_setup(
-                newest_frame["bbox3d"][:, 0], control_bbox, B)
-            shifted_frame["bbox3d"] = last_bbox[:, None, :]
-        else:
-            last_bbox = None
-            control_mask = jnp.zeros((B, 61), bool)
 
         pri = model.tar_priors_cached(params, shifted_frame, cache,
                                       abs_frame)

@@ -2994,7 +2994,7 @@ def fused_decode_step_w4i4(packed: Params, x: jnp.ndarray,
 def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                wpj_ref, *rest,
                n_layers: int, n_sblk: int, bs: int, H: int, Dh: int,
-               Q: int, int4: bool, w4: bool = False,
+               Q: int, int4: bool, w4: bool = False, n_bblk: int = 1,
                eps: float = 1e-5):
     if w4:
         sc_ref, rest = rest[0], rest[1:]
@@ -3008,8 +3008,12 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
          h_scr, qp_scr, m_scr, den_scr, acc_scr, sq_scr) = rest
     l = pl.program_id(0)
     ns = pl.program_id(1)
+    # batch-group grid dim (innermost; see _kernel_v5) — absent when
+    # n_bblk == 1 so the whole-batch path compiles exactly as before
+    nb = pl.program_id(2) if n_bblk > 1 else None
     R, d = x_ref.shape                 # R = B * Q query rows
     B = R // Q
+    bg = B // n_bblk                   # scenes per batch group
     HD = H * Dh
     HDh = HD // 2
     QH = Q * H
@@ -3125,10 +3129,14 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
     pool = pool_ref[:]                 # [HD, H] f32
     poolt = poolt_ref[:]               # [H, HD] f32
 
-    # ---- ns == 0: hidden init, QKV for all R rows, packed q-pools,
-    # intra-chunk causal flash init (the chunk's own K/V rows stay full
-    # precision inside the step, matching the XLA multi-row bodies) ----
-    @pl.when(ns == 0)
+    # ---- ns == 0 (first batch group): hidden init, QKV for all R rows,
+    # packed q-pools, intra-chunk causal flash init (the chunk's own K/V
+    # rows stay full precision inside the step, matching the XLA
+    # multi-row bodies).  Computed for the WHOLE batch in one pass so the
+    # qdot matmuls stay large ----
+    init = (ns == 0) if n_bblk == 1 else ((ns == 0) & (nb == 0))
+
+    @pl.when(init)
     def _():
         @pl.when(l == 0)
         def _():
@@ -3193,19 +3201,20 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
             den_scr[b:b + 1, :QH] = rows_to_lanes(den0)
             acc_scr[b * Q:(b + 1) * Q, :] = acc0
 
-    # ---- every S-block: one [bs, HD] x [HD, QH] MXU dot per scene
-    # (two half-width dots on the int4 nibble halves) ----
+    # ---- every S-block: one [bs, HD] x [HD, QH] MXU dot per scene of
+    # this batch group (two half-width dots on the int4 nibble halves) ----
     base = ns * bs
     spos = base + jax.lax.broadcasted_iota(jnp.int32, (bs, QH), 0)
     valid = spos < cl
-    for b in range(B):
-        qp_i8 = qp_scr[pl.ds(b * HD, HD), :QH].astype(jnp.int8)
-        sqv = sq_scr[pl.ds(b, 1), :QH]                   # [1, QH]
+    for bb in range(bg):
+        rb = bb if n_bblk == 1 else nb * bg + bb
+        qp_i8 = qp_scr[pl.ds(rb * HD, HD), :QH].astype(jnp.int8)
+        sqv = sq_scr[pl.ds(rb, 1), :QH]                  # [1, QH]
         if int4:
-            klo, khi = _unpack_nibbles(kvk_ref[0, b])    # [bs, HD/2] i8
-            vlo, vhi = _unpack_nibbles(kvv_ref[0, b])
-            ks_q = jnp.tile(ksc_ref[0, b], (1, Q))       # [bs, QH]
-            vs_q = jnp.tile(vsc_ref[0, b], (1, Q))
+            klo, khi = _unpack_nibbles(kvk_ref[0, bb])   # [bs, HD/2] i8
+            vlo, vhi = _unpack_nibbles(kvv_ref[0, bb])
+            ks_q = jnp.tile(ksc_ref[0, bb], (1, Q))      # [bs, QH]
+            vs_q = jnp.tile(vsc_ref[0, bb], (1, Q))
             li = (jax.lax.dot_general(
                       klo, qp_i8[:HDh], (((1,), (0,)), ((), ())),
                       preferred_element_type=jnp.int32)
@@ -3214,21 +3223,21 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                       preferred_element_type=jnp.int32))
             logits = li.astype(jnp.float32) * ks_q * (sqv * (scale / 7.0))
         else:
-            kmat = kvk_ref[0, b]                         # [bs, HD] i8
-            vmat = kvv_ref[0, b]
+            kmat = kvk_ref[0, bb]                        # [bs, HD] i8
+            vmat = kvv_ref[0, bb]
             li = jax.lax.dot_general(kmat, qp_i8,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
             logits = (li.astype(jnp.float32)
                       * (sqv * (scale / KV_INT8_SCALE)))  # [bs, QH]
         logits = jnp.where(valid, logits, -jnp.inf)
-        m_old = m_scr[pl.ds(b, 1), :QH]
+        m_old = m_scr[pl.ds(rb, 1), :QH]
         m_new = jnp.maximum(m_old, jnp.max(logits, axis=0,
                                            keepdims=True))
         corr = jnp.exp(m_old - m_new)                    # [1, QH]
         p = jnp.exp(logits - m_new)                      # [bs, QH]
-        den = den_scr[pl.ds(b, 1), :QH] * corr + jnp.sum(p, axis=0,
-                                                         keepdims=True)
+        den = den_scr[pl.ds(rb, 1), :QH] * corr + jnp.sum(p, axis=0,
+                                                          keepdims=True)
         if int4:
             pv = (p * vs_q * (1.0 / 7.0)).astype(jnp.bfloat16)
             part_lo = jax.lax.dot_general(
@@ -3257,14 +3266,18 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
                                   keepdims=True)         # [1, HD]
             corr_l = jnp.sum(corr[0, sl][:, None] * poolt, axis=0,
                              keepdims=True)
-            r = b * Q + qi
+            r = rb * Q + qi
             acc_scr[pl.ds(r, 1), :] = (acc_scr[pl.ds(r, 1), :] * corr_l
                                        + blk_mix)
-        m_scr[pl.ds(b, 1), :QH] = m_new
-        den_scr[pl.ds(b, 1), :QH] = den
+        m_scr[pl.ds(rb, 1), :QH] = m_new
+        den_scr[pl.ds(rb, 1), :QH] = den
 
-    # ---- ns == NS-1: finalize, proj, MLP on all R rows ----
-    @pl.when(ns == n_sblk - 1)
+    # ---- ns == NS-1 (last batch group): finalize, proj, MLP on all R
+    # rows ----
+    fin = ((ns == n_sblk - 1) if n_bblk == 1
+           else ((ns == n_sblk - 1) & (nb == n_bblk - 1)))
+
+    @pl.when(fin)
     def _():
         h = h_scr[:]
         den_rows = []
@@ -3293,13 +3306,16 @@ def _kernel_mq(nblk_ref, cl_ref, x_ref, vec_ref, wqp_ref, wfc_ref,
 
 
 def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
-             block_s, int4, w4=False):
+             block_s, int4, w4=False, batch_block=0):
     """Shared pallas_call plumbing for the multi-query kernels.
 
     kv_inputs: (kv_k, kv_v) flat int8, or (kv_k, kv_v, k_scale, v_scale)
     packed int4; w4 selects group-128 int4 weight blocks (pack_fused_oar_w4)
-    instead of int8 (pack_fused_oar).  Returns (h [B*Q, d] bf16,
-    kvnew [L, B*Q, 2*HD] bf16)."""
+    instead of int8 (pack_fused_oar).  batch_block > 0 splits the batch
+    into groups of that size on an innermost grid dim (as
+    fused_decode_step_v5) — the large-B VMEM knob, which is what lets
+    speculative verify chunks compose with the batch-split serving
+    config.  Returns (h [B*Q, d] bf16, kvnew [L, B*Q, 2*HD] bf16)."""
     d = x.shape[-1]
     Q = x.shape[1]
     if not 1 < Q * H <= 128:
@@ -3313,7 +3329,7 @@ def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
     poolt = pool.T.copy()
     cl = jnp.reshape(jnp.asarray(cache_len, jnp.int32), (1,))
     nblk = jnp.minimum((cl + bs - 1) // bs, NS).astype(jnp.int32)
-    grid, _, _, kv_spec = _batch_split_grid(L, NS, B, bs, HD, 0)
+    grid, _, NB, kv_spec = _batch_split_grid(L, NS, B, bs, HD, batch_block)
 
     def at_l(shape):
         return pl.BlockSpec((1,) + shape,
@@ -3342,7 +3358,8 @@ def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
                    lagged((4 * d, d), lag_pj)]            # wpj
         w_inputs = (packed["wqp"], packed["wfc"], packed["wpj"])
     kernel = functools.partial(_kernel_mq, n_layers=L, n_sblk=NS, bs=bs,
-                               H=H, Dh=Dh, Q=Q, int4=int4, w4=w4)
+                               H=H, Dh=Dh, Q=Q, int4=int4, w4=w4,
+                               n_bblk=NB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -3379,10 +3396,12 @@ def _mq_call(packed, x, kv_inputs, L, B, S, HD, H, Dh, cache_len,
       *w_inputs, *kv_inputs, pool, poolt)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
                            kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                           cache_len, n_head: int, block_s: int = 0
+                           cache_len, n_head: int, block_s: int = 0,
+                           batch_block: int = 0
                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray]:
     """Multi-query fused verify step: x [B, Q, d], 1 < Q <= 128 // n_head.
@@ -3390,7 +3409,9 @@ def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
     Same packing/caches as fused_decode_step_v5 (flat [L, B, S, HD] int8);
     the Q rows attend causally within the chunk and to the prefix below
     cache_len, and their K/V rows are written back at cache_len — exactly
-    oar_step's multi-row semantics.  Returns (h [B, Q, d], kv_k, kv_v)."""
+    oar_step's multi-row semantics.  batch_block as in
+    fused_decode_step_v5 (the large-B VMEM knob).  Returns
+    (h [B, Q, d], kv_k, kv_v)."""
     L, B, S, HD = kv_k.shape
     assert kv_k.dtype == jnp.int8, "v5mq requires int8 KV storage"
     H = n_head
@@ -3399,7 +3420,8 @@ def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
     Q = x.shape[1]
 
     h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v), L, B, S, HD, H, Dh,
-                            cache_len, block_s, int4=False)
+                            cache_len, block_s, int4=False,
+                            batch_block=batch_block)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
@@ -3414,11 +3436,13 @@ def fused_decode_step_v5mq(packed: Params, x: jnp.ndarray,
     return h_out.reshape(B, Q, d), kv_k, kv_v
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
                              kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                              k_scale: jnp.ndarray, v_scale: jnp.ndarray,
-                             cache_len, n_head: int, block_s: int = 0):
+                             cache_len, n_head: int, block_s: int = 0,
+                             batch_block: int = 0):
     """Multi-query verify step on the int4 packed cache.
 
     x [B, Q, d] with 1 < Q*n_head <= 128; caches/scales as
@@ -3434,7 +3458,7 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
 
     h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v, k_scale, v_scale),
                             L, B, S, HD, H, Dh, cache_len, block_s,
-                            int4=True)
+                            int4=True, batch_block=batch_block)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     kp, ks = quantize_kv_int4(k_new, H)
@@ -3449,10 +3473,12 @@ def fused_decode_step_v5mqi4(packed: Params, x: jnp.ndarray,
     return h_out.reshape(B, Q, d), kv_k, kv_v, k_scale, v_scale
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_w4mq(packed: Params, x: jnp.ndarray,
                            kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                           cache_len, n_head: int, block_s: int = 0
+                           cache_len, n_head: int, block_s: int = 0,
+                           batch_block: int = 0
                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray]:
     """Multi-query verify step with W4A8 weights on the flat int8 cache.
@@ -3466,7 +3492,8 @@ def fused_decode_step_w4mq(packed: Params, x: jnp.ndarray,
     Q = x.shape[1]
 
     h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v), L, B, S, HD, H, Dh,
-                            cache_len, block_s, int4=False, w4=True)
+                            cache_len, block_s, int4=False, w4=True,
+                            batch_block=batch_block)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) * KV_INT8_SCALE),
@@ -3481,11 +3508,13 @@ def fused_decode_step_w4mq(packed: Params, x: jnp.ndarray,
     return h_out.reshape(B, Q, d), kv_k, kv_v
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "block_s", "batch_block"))
 def fused_decode_step_w4mqi4(packed: Params, x: jnp.ndarray,
                              kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                              k_scale: jnp.ndarray, v_scale: jnp.ndarray,
-                             cache_len, n_head: int, block_s: int = 0):
+                             cache_len, n_head: int, block_s: int = 0,
+                             batch_block: int = 0):
     """Multi-query verify step with W4A8 weights on the int4 packed cache.
 
     packed: pack_fused_oar_w4 blocks; otherwise as
@@ -3500,7 +3529,7 @@ def fused_decode_step_w4mqi4(packed: Params, x: jnp.ndarray,
 
     h_out, kvnew = _mq_call(packed, x, (kv_k, kv_v, k_scale, v_scale),
                             L, B, S, HD, H, Dh, cache_len, block_s,
-                            int4=True, w4=True)
+                            int4=True, w4=True, batch_block=batch_block)
     k_new = kvnew[:, :, :HD].reshape(L, B, Q, HD)
     v_new = kvnew[:, :, HD:].reshape(L, B, Q, HD)
     kp, ks = quantize_kv_int4(k_new, H)

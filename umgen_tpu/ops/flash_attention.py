@@ -4,10 +4,21 @@ Replaces the reference's external flash-attn CUDA kernels
 (ref:projects/models/module.py:10,218-225).  The model's attention extents
 are short by LLM standards — spatial S = 2208, temporal T <= 20, OAR prefix
 <= 2208 (SURVEY §5.7) — so the whole K/V for one (batch, head) fits VMEM
-comfortably (2304 x 128 x bf16 x 2 ≈ 1.2 MB).  The kernel therefore blocks
-only the query dimension and computes each q-block's full softmax in one
-shot (no online rescaling), which is both simpler and faster than streaming
-flash attention at these lengths.
+comfortably.  The kernel therefore blocks only the query dimension and
+computes each q-block's full softmax in one shot (no online rescaling),
+which is both simpler and faster than streaming flash attention at these
+lengths.
+
+Layout note (the round-3 2.6x win): head_dim = 48 is smaller than the
+128-lane tile, so the naive [S, Dh] operand layout lane-pads every
+q/k/v/o block 48 -> 128 and wastes 2.67x MXU work AND HBM traffic.  This
+kernel therefore keeps Dh on the SUBLANE axis end to end (operands
+[Dh, S], bf16 sublane tile 16 divides 48 exactly):
+
+  * logits = dot_general(qT [Dh, bq], kT [Dh, sk], contract dim0 x dim0)
+    — contraction over sublanes, lanes are bq/sk: no padding;
+  * oT [Dh, bq] = dot_general(vT [Dh, sk], w [bq, sk], contract over sk)
+    — output lanes bq: no padding.
 
 Numerical contract matches `modules.sdpa`: fp32 logits, 1/sqrt(Dh) scale,
 bottom-right-aligned causal mask when q is shorter than k.
@@ -29,21 +40,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
-                 causal: bool, s_q: int, s_k: int, block_q: int):
-    """One (batch*head, q-block) program.
+def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                   causal: bool, s_q: int, s_k: int, block_q: int):
+    """One (batch*head, q-block) program, transposed operand layout.
 
-    q_ref: [block_q, dh_pad]; k_ref/v_ref: [s_k_pad, dh_pad];
-    o_ref: [block_q, dh_pad].
+    q_ref: [dh, block_q]; k_ref/v_ref: [dh, s_k_pad]; o_ref: [dh, block_q].
     """
     qi = pl.program_id(1)
-    # inputs stay in their storage dtype (bf16 on the fast path) so the MXU
-    # runs native bf16 passes; accumulation is fp32 via preferred_element_type
+    # sublane-axis contraction: [dh, bq] x [dh, sk] -> [bq, sk]; inputs
+    # stay in their storage dtype (bf16 on the fast path) so the MXU runs
+    # native bf16 passes; accumulation is fp32 via preferred_element_type
     logits = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
-    s_k_pad = k_ref.shape[1]
+    s_k_pad = k_ref.shape[2]
     kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k_pad), 1)
     valid = kpos < s_k
     if causal:
@@ -58,8 +69,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     w = p / jnp.maximum(denom, 1e-30)
+    # oT [dh, bq] = vT [dh, sk] x w [bq, sk] contracted over sk
     o_ref[0] = jax.lax.dot_general(
-        w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        v_ref[0], w.astype(v_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -71,35 +83,36 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[1]
     orig_dtype = q.dtype
 
-    # fold heads into the grid's batch dim
-    qt = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, Dh)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
+    # fold heads into the grid's batch dim, head_dim onto sublanes
+    qt = q.transpose(0, 2, 3, 1).reshape(B * H, Dh, Sq)
+    kt = k.transpose(0, 2, 3, 1).reshape(B * H, Dh, Sk)
+    vt = v.transpose(0, 2, 3, 1).reshape(B * H, Dh, Sk)
 
-    # pad: lanes to 128, sublanes/blocks to hardware-friendly sizes
-    dh_pad = _round_up(Dh, 128)
+    # pad: S (now the lane axis) to 128, dh sublanes to the dtype tile
+    sub = 16 if qt.dtype == jnp.bfloat16 else 8
+    dh_pad = _round_up(Dh, sub)
     block_q = min(block_q, _round_up(Sq, 128))
     sq_pad = _round_up(Sq, block_q)
     sk_pad = _round_up(Sk, 128)
-    qt = jnp.pad(qt, ((0, 0), (0, sq_pad - Sq), (0, dh_pad - Dh)))
-    kt = jnp.pad(kt, ((0, 0), (0, sk_pad - Sk), (0, dh_pad - Dh)))
-    vt = jnp.pad(vt, ((0, 0), (0, sk_pad - Sk), (0, dh_pad - Dh)))
+    qt = jnp.pad(qt, ((0, 0), (0, dh_pad - Dh), (0, sq_pad - Sq)))
+    kt = jnp.pad(kt, ((0, 0), (0, dh_pad - Dh), (0, sk_pad - Sk)))
+    vt = jnp.pad(vt, ((0, 0), (0, dh_pad - Dh), (0, sk_pad - Sk)))
 
     grid = (B * H, sq_pad // block_q)
     kernel = functools.partial(
-        _attn_kernel, sm_scale=1.0 / math.sqrt(Dh), causal=causal,
+        _attn_kernel_t, sm_scale=1.0 / math.sqrt(Dh), causal=causal,
         s_q=Sq, s_k=Sk, block_q=block_q)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dh_pad), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, sk_pad, dh_pad), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, sk_pad, dh_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, dh_pad, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, dh_pad, sk_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, dh_pad, sk_pad), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh_pad), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, dh_pad), orig_dtype),
+        out_specs=pl.BlockSpec((1, dh_pad, block_q), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B * H, dh_pad, sq_pad), orig_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sq * Sk * Dh,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -107,5 +120,5 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ),
     )(qt, kt, vt)
 
-    out = out[:, :Sq, :Dh].reshape(B, H, Sq, Dh).transpose(0, 2, 1, 3)
+    out = out[:, :Dh, :Sq].reshape(B, H, Dh, Sq).transpose(0, 3, 1, 2)
     return out

@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "--speculative_k is on (map/image stay speculative)")
     p.add_argument("--tar_cache_window", type=int, default=None,
                    help="temporal ring length (default: cond_frames)")
+    p.add_argument("--tar_cache_refresh", type=int, default=0,
+                   help="re-ingest the exact last-window frames every N "
+                   "generated frames (bounds the post-slide ring "
+                   "divergence; 1 = exact sliding-window semantics every "
+                   "frame, 0 = never)")
     p.add_argument("--chunked_prefill", action="store_true",
                    help="ingest the conditioning window frame-by-frame "
                    "(same math, far lower peak memory — for large scene "
@@ -131,16 +136,14 @@ def config_from_args(args):
 
     tar_mode = args.tar_mode
     if tar_mode is None:
-        # control replays must be bit-faithful to the reference's per-step
-        # window overwrite (ref:UMGen.py:1464-1467); the cached rings bake
-        # overrides in at ingestion, so default control to recompute
-        tar_mode = ("recompute" if "control" in args.infer_task
-                    else "temporal_cache")
-        if tar_mode == "recompute":
-            print("control task: defaulting --tar_mode recompute "
-                  "(reference-faithful control semantics); pass "
-                  "--tar_mode temporal_cache to opt into the faster "
-                  "cached rollout")
+        # control rides the cached path faithfully since round 3: the
+        # agent-control overwrite is applied before ring ingestion,
+        # reproducing the reference's persistent window mutation
+        # (ref:UMGen.py:1464-1467) — tested token-for-token vs recompute
+        # under greedy (tests/test_generate.py).  --tar_mode recompute
+        # remains available for exact full-window semantics on rollouts
+        # longer than the conditioning window.
+        tar_mode = "temporal_cache"
 
     return ModelConfig(task=args.pred_task,
                        rule_constrain=args.rule_constrain,
@@ -157,7 +160,8 @@ def config_from_args(args):
                        oar_kernel_version=args.oar_kernel,
                        oar_batch_block=args.oar_batch_block,
                        chunked_prefill=args.chunked_prefill,
-                       tar_cache_window=args.tar_cache_window).scaled(
+                       tar_cache_window=args.tar_cache_window,
+                       tar_cache_refresh=args.tar_cache_refresh).scaled(
                            args.model_scale)
 
 

@@ -317,10 +317,19 @@ class SceneRunner:
                 decoded["valid"], gt_boxes=gb, gt_cats=gc, gt_valid=gv,
                 pred_maps=decoded.get("maps_rgb"), gt_maps=gt_maps,
                 pose=pose, cond_frames=cond_frames)
+        gt_pose = None
+        if gt is not None and "pose" in gt:
+            gp = np.asarray(gt["pose"])
+            if gp.ndim == 3:
+                gp = gp[0]
+            gt_pose = self.pipeline.decode_pose(gp)
+            gt_pose[:, 2] = gt_pose[:, 2] * 180.0 / np.pi
         return render_scene_video(
             path,
             decoded["boxes"], decoded["cat_ids"], decoded["valid"],
             pose=pose,
             maps_rgb=decoded.get("maps_rgb"),
             images=decoded.get("images"),
-            cond_frames=cond_frames)
+            cond_frames=cond_frames,
+            scene_name=file_name,
+            gt_pose=gt_pose)

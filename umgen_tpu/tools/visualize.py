@@ -30,7 +30,11 @@ CATEGORY_COLORS = {
     2: (250, 200, 60),     # pedestrian
 }
 EGO_COLOR = (60, 60, 240)
-COLLISION_COLOR = (0, 0, 255)
+# colliding boxes are drawn pink, small (<~1 m side) boxes orange —
+# matching the reference's draw_box coloring (ref:visulize.py:896-909)
+COLLISION_COLOR = (255, 0, 255)
+SMALL_BOX_COLOR = (0, 165, 255)
+ID_COLOR = (0, 255, 0)
 
 
 def _to_px(xy: np.ndarray) -> np.ndarray:
@@ -56,8 +60,14 @@ def render_frame(boxes: Optional[np.ndarray] = None,
                  map_rgb: Optional[np.ndarray] = None,
                  collision_ids: Optional[Sequence[int]] = None,
                  draw_ego: bool = True,
-                 arrows: bool = True) -> np.ndarray:
-    """→ (512, 512, 3) uint8 BGR canvas."""
+                 arrows: bool = True,
+                 object_ids: Optional[np.ndarray] = None,
+                 show_ids: bool = True) -> np.ndarray:
+    """→ (512, 512, 3) uint8 BGR canvas.
+
+    Reference coloring parity (ref:visulize.py:813-967): colliding boxes
+    pink, boxes under ~1 m side orange, slot/object id printed at each
+    box's top-left corner (object_ids; defaults to the slot index)."""
     if map_rgb is not None:
         img = np.clip((np.asarray(map_rgb) + 1) / 2 * 255, 0,
                       255).astype(np.uint8)
@@ -76,9 +86,16 @@ def render_frame(boxes: Optional[np.ndarray] = None,
             if valid is not None and not valid[i]:
                 continue
             pts = _to_px(_box_corners(boxes[i])).astype(np.int32)
-            color = COLLISION_COLOR if i in collision_ids else \
-                CATEGORY_COLORS.get(int(cat_ids[i]) if cat_ids is not None
-                                    else 0, (200, 200, 200))
+            l_px = boxes[i, 3] * SCALE
+            w_px = boxes[i, 4] * SCALE
+            if i in collision_ids:
+                color = COLLISION_COLOR
+            elif l_px < 4 or w_px < 4:     # ref:visulize.py:906-907
+                color = SMALL_BOX_COLOR
+            else:
+                color = CATEGORY_COLORS.get(
+                    int(cat_ids[i]) if cat_ids is not None else 0,
+                    (200, 200, 200))
             cv2.polylines(img, [pts], True, color, 2)
             if arrows:
                 vx, vy = boxes[i, 7], boxes[i, 8]
@@ -90,6 +107,12 @@ def render_frame(boxes: Optional[np.ndarray] = None,
                     cv2.arrowedLine(img, tuple(start.astype(int)),
                                     tuple(end.astype(int)), color, 1,
                                     tipLength=0.3)
+            if show_ids:
+                oid = int(object_ids[i]) if object_ids is not None else i
+                corner = pts.min(axis=0)
+                cv2.putText(img, str(oid),
+                            (int(corner[0]), int(corner[1]) - 4),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.35, ID_COLOR, 1)
 
     if draw_ego:
         ego = np.array([0, 0, 0, 5.176, 2.297, 1.777, 0, 0, 0, 0])
@@ -99,16 +122,39 @@ def render_frame(boxes: Optional[np.ndarray] = None,
 
 
 def put_header(img: np.ndarray, frame_idx: int, cond_frames: int,
-               pose: Optional[np.ndarray] = None) -> np.ndarray:
-    """Frame number + pose overlay; green while conditioning, red when
-    generated (ref:decode_map.py:41-77)."""
-    color = (0, 255, 0) if frame_idx < cond_frames else (0, 0, 255)
-    text = f"F: {frame_idx}"
+               pose: Optional[np.ndarray] = None,
+               gt_pose: Optional[np.ndarray] = None,
+               scene_name: Optional[str] = None,
+               n_boxes: Optional[int] = None,
+               gt_n_boxes: Optional[int] = None,
+               project: str = "umgen_tpu") -> np.ndarray:
+    """Per-frame info overlay carrying the reference's information
+    classes (ref:visulize.py:969-1078 put_text): frame index + box
+    counts, project, scene name, predicted pose, GT pose.  Red while
+    conditioning, white when generated (the reference's color switch)."""
+    color = (0, 0, 255) if frame_idx < cond_frames else (255, 255, 255)
+    img = img.copy()
+    lines = []
+    head = f"Frame {frame_idx}"
+    if n_boxes is not None or gt_n_boxes is not None:
+        head += f": pbox={n_boxes if n_boxes is not None else 0}" \
+                f", abox={gt_n_boxes if gt_n_boxes is not None else 0}"
+    lines.append(head)
+    lines.append(f"Project: {project}")
+    if scene_name is not None:
+        lines.append(f"Scene: {scene_name}")
     if pose is not None:
-        p = np.trunc(np.asarray(pose) * 100) / 100
-        text += f"   [dx, dy, dh]: {p}"
-    return cv2.putText(img.copy(), text, (10, 20),
-                       cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
+        p = np.asarray(pose, np.float64)
+        lines.append(f"Pose: ({p[0]:.2f}, {p[1]:.2f}, {p[2]:.2f})")
+    if gt_pose is not None:
+        g = np.asarray(gt_pose, np.float64)
+        lines.append(f"GTPose: ({g[0]:.2f}, {g[1]:.2f}, {g[2]:.2f})")
+    elif pose is not None and scene_name is not None:
+        lines.append("GTPose: out of annotaion")   # sic, ref:1060
+    for i, text in enumerate(lines):
+        cv2.putText(img, text, (10, 20 + 16 * i),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
+    return img
 
 
 def stack_panels(*panels: Optional[np.ndarray]) -> np.ndarray:
@@ -142,7 +188,9 @@ def render_scene_video(path: str,
                        pose: Optional[np.ndarray] = None,
                        maps_rgb: Optional[np.ndarray] = None,
                        images: Optional[np.ndarray] = None,
-                       cond_frames: int = 20, fps: int = 10) -> str:
+                       cond_frames: int = 20, fps: int = 10,
+                       scene_name: Optional[str] = None,
+                       gt_pose: Optional[np.ndarray] = None) -> str:
     """Full scene → mp4.  boxes (T, 60, 10) metric, valid (T, 60),
     maps_rgb (T, h, w, 3) in [-1, 1], images (T, h, w, 3) in [-1, 1]."""
     frames = []
@@ -151,7 +199,11 @@ def render_scene_video(path: str,
         bev = render_frame(boxes[t], cat_ids[t], valid[t],
                            maps_rgb[t] if maps_rgb is not None else None)
         bev = put_header(bev, t, cond_frames,
-                         pose[t] if pose is not None else None)
+                         pose[t] if pose is not None else None,
+                         gt_pose=(gt_pose[t] if gt_pose is not None
+                                  and t < len(gt_pose) else None),
+                         scene_name=scene_name,
+                         n_boxes=int(valid[t].sum()))
         cam = None
         if images is not None:
             cam = np.clip((images[t] + 1) / 2 * 255, 0, 255).astype(np.uint8)
@@ -276,11 +328,15 @@ def render_pred_gt_video(path: str,
             hit = np.where(mat.any(axis=1))[0]
             live = np.where(pred_valid[t].astype(bool))[0]
             cids = live[hit].tolist()
+        gt_n = (int(gt_valid[t].sum()) if gt_valid is not None
+                and t < len(gt_valid) else None)
         left = render_frame(pred_boxes[t], pred_cats[t], pred_valid[t],
                             pred_maps[t] if pred_maps is not None else None,
                             collision_ids=cids)
         left = put_header(left, t, cond_frames,
-                          pose[t] if pose is not None else None)
+                          pose[t] if pose is not None else None,
+                          n_boxes=int(pred_valid[t].sum()),
+                          gt_n_boxes=gt_n)
         if gt_boxes is not None:
             right = render_frame(gt_boxes[t], gt_cats[t],
                                  gt_valid[t] if gt_valid is not None
