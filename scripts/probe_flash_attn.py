@@ -1,0 +1,73 @@
+"""Measure the flash-attention kernel vs the XLA sdpa oracle at the
+model's hot shapes, on chip.
+
+Round 3 rewrote the kernel with Dh-on-sublanes operands (dim-0
+contraction), removing the 48 -> 128 lane padding (2.67x wasted MXU work
+and HBM traffic).  This probe rechecks (a) the kernel's achieved TF/s at
+the TAR spatial shapes and (b) the XLA-vs-Pallas crossover that sets
+ops/attention._PALLAS_LOGITS_THRESHOLD.
+
+Scan-timed (>= 64 iterations) per PERFORMANCE.md measurement hygiene.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umgen_tpu.models.modules import sdpa
+    from umgen_tpu.ops.flash_attention import flash_attention
+
+    H, Dh = 16, 48
+    S = 2208
+    shapes = [
+        ("cached cascade B=2 (rows=2)", 2, S, S),
+        ("cached cascade B=8 (rows=8)", 8, S, S),
+        ("recompute cascade B=2 (rows=40)", 40, S, S),
+        ("recompute cascade B=4 (rows=80)", 80, S, S),
+    ]
+    rng = np.random.default_rng(0)
+
+    def scan_time(fn, q, k, v, iters=64):
+        def body(c, _):
+            o = fn(c, k, v)
+            return (c + 0 * o.astype(c.dtype), None)
+
+        g = jax.jit(lambda q0: jax.lax.scan(body, q0, None, length=iters)[0])
+        out = g(q)
+        np.asarray(out[0, 0, 0])            # compile + warm
+        t0 = time.perf_counter()
+        out = g(q)
+        np.asarray(out[0, 0, 0])
+        return (time.perf_counter() - t0) / iters
+
+    for name, rows, Sq, Sk in shapes:
+        q = jnp.asarray(rng.normal(0, 1, (rows, Sq, H, Dh)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(0, 1, (rows, Sk, H, Dh)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(0, 1, (rows, Sk, H, Dh)), jnp.bfloat16)
+        flops = 4 * rows * H * Sq * Sk * Dh
+        t_fl = scan_time(lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, causal=False), q, k, v)
+        line = (f"{name}: pallas {t_fl * 1e3:.2f} ms "
+                f"({flops / t_fl / 1e12:.1f} TF/s)")
+        logits_gb = rows * H * Sq * Sk * 4 / 1e9
+        if logits_gb < 4.0:                 # XLA materializes the logits
+            t_x = scan_time(lambda q_, k_, v_: sdpa(q_, k_, v_, False),
+                            q, k, v)
+            line += (f"; xla {t_x * 1e3:.2f} ms "
+                     f"({flops / t_x / 1e12:.1f} TF/s)")
+        else:
+            line += f"; xla skipped ({logits_gb:.0f} GB logits)"
+        print(line, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -749,10 +749,11 @@ def test_rollout_speculative_guards():
                               oar_batch_block=2)))
 
 
-@pytest.mark.parametrize("Q,cl", [(8, 300), (4, 0)])
+@pytest.mark.parametrize("Q,cl", [(8, 150), (4, 0)])
 def test_w4mq_interpret_matches_xla(interpret_kernels, Q, cl):
     """w4mq / w4mqi4 (W4A8 weights, multi-query) vs the un-quantized XLA
-    multi-row step — interpret mode on CPU."""
+    multi-row step — interpret mode on CPU (small S: interpret executes
+    on the host and the w4 nibble unpack is the slowest interpret op)."""
     from umgen_tpu.ops import decode_kernel as dk
 
     cfg = ModelConfig(oar_cache_dtype="bfloat16", n_oar_layer=2)
@@ -764,7 +765,7 @@ def test_w4mq_interpret_matches_xla(interpret_kernels, Q, cl):
                                    jnp.bfloat16),
               "ln_oar": nn.init_layernorm(d, jnp.bfloat16)}
     packed = dk.pack_fused_oar_w4(params["oar"])
-    B, S = 2, 512
+    B, S = 2, 256
     H, Dh = cfg.n_head, cfg.head_dim
     HD = H * Dh
     rng = np.random.default_rng(0)
@@ -812,7 +813,10 @@ def test_mq_batch_block_matches_whole_batch(interpret_kernels, kernel):
     int4 = kernel.endswith("i4")
     packed = (dk.pack_fused_oar_w4(params["oar"]) if w4
               else dk.pack_fused_oar(quantize_params_int8(params)["oar"]))
-    B, S, Q, cl = 4, 512, 8, 300
+    # interpret mode executes per-element on the host — keep shapes small
+    # (the batch-split grid logic is shape-independent; bb=2 over B=4 is
+    # the serving pattern)
+    B, S, Q, cl = 4, 256, 8, 150
     H, Dh = cfg.n_head, cfg.head_dim
     HD = H * Dh
     rng = np.random.default_rng(1)

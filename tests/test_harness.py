@@ -104,6 +104,7 @@ def test_cli_config_from_args_int4_guard():
     assert config_from_args(args).chunked_prefill is True
 
 
+@pytest.mark.slow
 def test_batched_run_scenes(tmp_path):
     """run_scenes stacks video scenes into one batched rollout and still
     produces per-scene token pkls, resume skips, and metrics."""

@@ -114,7 +114,9 @@ def test_cached_rollout_sharded_matches_unsharded(setup):
         assert agree >= 0.995, (m, agree)
 
 
-@pytest.mark.parametrize("chunked", [False, True])
+@pytest.mark.parametrize("chunked", [
+    pytest.param(False, marks=pytest.mark.slow),   # chunked=True covers
+    True])                                         # the same program path
 def test_shard_map_dp_rollout_matches_unsharded(setup, chunked):
     """spmd="shard_map" serving: the cached rollout under an explicit
     dp=2 per-device program (the only way the fused Pallas kernels scale
@@ -140,6 +142,7 @@ def test_shard_map_dp_rollout_matches_unsharded(setup, chunked):
         assert agree >= 0.995, (m, agree)
 
 
+@pytest.mark.slow
 def test_shard_map_dp8_full_mesh(setup):
     """dp=8 — the full virtual mesh width, one scene per device.  Backs the
     multi-chip serving design note (PERFORMANCE.md roadmap item 5): dp over
