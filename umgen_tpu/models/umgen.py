@@ -529,6 +529,23 @@ class UMGen:
         q = q.astype(jnp.int8).reshape(L, N, H, Dh)
         return nn.q4_pack(q), s
 
+    @staticmethod
+    def _ring_q4_quantize_layer(x: jnp.ndarray, B: int
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-layer variant of `_ring_q4_quantize` (x: [N, H, Dh] →
+        packed [N, H, Dh//2] int8, scales [B, H] f32).  Scales are
+        per-(layer, scene, head) in both variants, so quantizing inside
+        the layer scan is bit-identical to quantizing the stacked
+        [L, ...] collect — but the bf16 collect never materializes
+        (2 × [36, B·S, H, Dh] bf16 = 3.6 GB at B=16 was the peak HBM
+        temp that OOMed the B=12/16 serving configs, r3a stages 7-9)."""
+        N, H, Dh = x.shape
+        xf = x.astype(jnp.float32).reshape(B, N // B, H, Dh)
+        amax = jnp.max(jnp.abs(xf), axis=(1, 3))
+        s = jnp.maximum(amax, 1e-6) * (1.0 / 7.0)
+        q = jnp.clip(jnp.round(xf / s[:, None, :, None]), -7, 7)
+        return nn.q4_pack(q.astype(jnp.int8).reshape(N, H, Dh)), s
+
     def _run_tar_stack_cached(self, params, stack_name, ln_name, x, kv,
                               slot, n_valid):
         """x: [B, S, D] new frame → ([B, S, D], updated kv).
@@ -549,12 +566,15 @@ class UMGen:
                     p, h, cfg.n_head, k_l, v_l, slot, n_valid,
                     attn_impl=self.attn, ring_scale_k=sk_l,
                     ring_scale_v=sv_l)
-                return h, (k_new, v_new)
+                # quantize per layer inside the scan (bit-identical:
+                # scales are per-(layer, scene, head) either way) so the
+                # collect ys are int4-packed, not bf16 — the bf16
+                # [L, B·S, H, Dh] pair was the peak HBM temp at B >= 12
+                return h, (self._ring_q4_quantize_layer(k_new, B)
+                           + self._ring_q4_quantize_layer(v_new, B))
 
-            h, (ks, vs) = jax.lax.scan(
+            h, (kp, s_k, vp, s_v) = jax.lax.scan(
                 body_q4, x, (params[stack_name], kv_k, kv_v, sk, sv))
-            kp, s_k = self._ring_q4_quantize(ks, B)
-            vp, s_v = self._ring_q4_quantize(vs, B)
             kv_k = jax.lax.dynamic_update_slice(
                 kv_k, kp[:, :, None], (0, 0, slot, 0, 0))
             kv_v = jax.lax.dynamic_update_slice(
@@ -572,14 +592,16 @@ class UMGen:
             h, k_new, v_new = nn.block_tar_decode_deferred(
                 p, h, cfg.n_head, k_l, v_l, slot, n_valid,
                 attn_impl=self.attn)
-            return h, (k_new, v_new)
+            # cast to the ring dtype in-scan (halves the collect temps
+            # for fp8/int8 rings; no-op for bf16)
+            return h, (k_new.astype(kv_k.dtype), v_new.astype(kv_v.dtype))
 
         h, (ks, vs) = jax.lax.scan(body, x, (params[stack_name], kv_k,
                                              kv_v))
         kv_k = jax.lax.dynamic_update_slice(
-            kv_k, ks[:, :, None].astype(kv_k.dtype), (0, 0, slot, 0, 0))
+            kv_k, ks[:, :, None], (0, 0, slot, 0, 0))
         kv_v = jax.lax.dynamic_update_slice(
-            kv_v, vs[:, :, None].astype(kv_v.dtype), (0, 0, slot, 0, 0))
+            kv_v, vs[:, :, None], (0, 0, slot, 0, 0))
         return nn.layer_norm(params[ln_name], h), (kv_k, kv_v)
 
     def _run_tar_stack_prefill(self, params, stack_name, ln_name, emb,
