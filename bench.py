@@ -113,6 +113,19 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_path = os.environ.get("UMGEN_BENCH_CKPT")
+    if ckpt_path:
+        # serve a trained checkpoint instead of random weights (needed
+        # for any speculative-decoding measurement: acceptance tracks
+        # TAR confidence and is structurally ~0 on random weights)
+        from umgen_tpu.runtime.checkpoint import load_params
+        tree = load_params(ckpt_path)
+        restored = dict(tree["params"])
+        restored["buffers"] = tree.get("buffers") or params["buffers"]
+        params = jax.tree.map(jnp.asarray, restored)
+        import sys
+        print(f"# loaded {ckpt_path} (step {int(np.asarray(tree['step']))})",
+              file=sys.stderr, flush=True)
     w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
     # "1" and "all" both mean every stack; "decode" restricts to the
     # decode-path stacks (the historical W8=1 meaning)
@@ -184,6 +197,7 @@ def main():
 
     # measured frames: feed each frame's output back in
     lat = []
+    spec_chunks = spec_accepted = 0
     for i in range(n_frames):
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -193,6 +207,8 @@ def main():
             out = step(params, inputs, sub)
         tokens = np.asarray(out.tokens)
         lat.append(time.perf_counter() - t0)
+        spec_chunks += int(out.spec_chunks)
+        spec_accepted += int(out.spec_accepted)
         frame = {m: tokens[:, sl[m]][:, None] for m in
                  model.layout.mod_order}
         if cached:
@@ -221,6 +237,13 @@ def main():
                 f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),
     }
+    if spec_chunks:
+        # acceptance telemetry on stderr — stdout keeps the driver's
+        # one-JSON-line contract
+        import sys
+        print(f"# speculative: {spec_chunks} chunks, {spec_accepted} "
+              f"accepted ({spec_accepted / spec_chunks:.2f} drafts/chunk)",
+              file=sys.stderr, flush=True)
     print(json.dumps(result))
 
 

@@ -49,9 +49,12 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     for name, rows, Sq, Sk in shapes:
-        q = jnp.asarray(rng.normal(0, 1, (rows, Sq, H, Dh)), jnp.bfloat16)
-        k = jnp.asarray(rng.normal(0, 1, (rows, Sk, H, Dh)), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(0, 1, (rows, Sk, H, Dh)), jnp.bfloat16)
+        # generate on device — large host literals exceed the axon
+        # relay's request-size limit (HTTP 413 at rows=40)
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(rows), 3)
+        q = jax.random.normal(kq, (rows, Sq, H, Dh), jnp.bfloat16)
+        k = jax.random.normal(kk, (rows, Sk, H, Dh), jnp.bfloat16)
+        v = jax.random.normal(kv, (rows, Sk, H, Dh), jnp.bfloat16)
         flops = 4 * rows * H * Sq * Sk * Dh
         t_fl = scan_time(lambda q_, k_, v_: flash_attention(
             q_, k_, v_, causal=False), q, k, v)

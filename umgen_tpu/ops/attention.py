@@ -25,13 +25,17 @@ def _on_tpu() -> bool:
         return False
 
 
-# Above this many attention-logit elements (B*H*Sq*Sk), the XLA path's
-# materialized S×S buffer becomes the memory bottleneck (e.g. batched
-# multi-scene rollouts: B*T=160 folded rows × 16 heads × 2208² ≈ 50 GB
-# fp32) and the Pallas kernel — which never materializes logits — wins.
-# Below it, XLA's fused softmax is measurably faster at this model's
-# head_dim (48) on v5e, so it stays the small-shape default.
-_PALLAS_LOGITS_THRESHOLD = 2 ** 29   # ≈0.5G elems ≈ 2 GB fp32 logits
+# Dispatch rule (re-measured 2026-08-20 after the transposed-layout
+# kernel rewrite, scripts/probe_flash_attn.py): at the spatial S = 2208
+# shapes the Pallas kernel beats XLA at EVERY folded batch — 29.5 vs
+# 13.5 TF/s at rows=2, 44.1 vs 15.8 at rows=8 (the old [S, Dh] layout
+# lane-padded Dh 48 -> 128 and lost to XLA at small batch; the Dh-on-
+# sublanes rewrite removed that 2.67x tax).  XLA also cannot run the
+# large-batch shapes at all (the materialized S×S logits reach tens of
+# GB).  Short-K attention (the temporal T <= 20 axis) stays on XLA: the
+# kernel would lane-pad Sk 20 -> 128 (6.4x waste) while XLA's fused
+# softmax handles tiny logits well.
+_PALLAS_MIN_SK = 512
 
 
 @functools.lru_cache(maxsize=1)
@@ -49,9 +53,8 @@ def best_attn_impl() -> Callable:
         return sdpa
 
     def dispatch(q, k, v, causal):
-        B, Sq, H, _ = q.shape
         Sk = k.shape[1]
-        if B * H * Sq * Sk >= _PALLAS_LOGITS_THRESHOLD:
+        if Sk >= _PALLAS_MIN_SK:
             return flash_attention(q, k, v, causal=causal)
         return sdpa(q, k, v, causal)
 

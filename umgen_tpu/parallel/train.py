@@ -74,7 +74,8 @@ class UMGenTrainer:
                  weight_decay: float = 0.01,
                  warmup_steps: int = 1000,
                  total_steps: int = 100_000,
-                 grad_clip: float = 1.0):
+                 grad_clip: float = 1.0,
+                 optimizer: str = "adamw"):
         self.model = model
         self.rollout = Rollout(model)
         self.layout = model.layout
@@ -83,9 +84,30 @@ class UMGenTrainer:
             0.0, learning_rate, warmup_steps,
             max(total_steps, warmup_steps + 1),
             end_value=learning_rate * 0.1)
+        if optimizer == "sign_sgd":
+            # stateless sign-SGD: the only optimizer that trains the 2.4B
+            # "larger" scale on one 16 GB chip (bf16 params 4.8 GB + bf16
+            # grads 4.8 GB; adam moments alone would add ~19 GB, and
+            # norm-clipped SGD's per-coordinate updates (~lr/sqrt(2.4e9))
+            # round away below the bf16 ulp).  sign(g) * lr with
+            # lr >= ~1e-4 clears the ulp of the ~0.02-magnitude weights.
+            sign = optax.GradientTransformation(
+                lambda params: optax.EmptyState(),
+                lambda updates, state, params=None: (
+                    jax.tree.map(jnp.sign, updates), state))
+            self.tx = optax.chain(
+                sign,
+                optax.scale_by_schedule(lambda s: -schedule(s)))
+            return
+        if optimizer == "sgd":
+            inner = optax.sgd(schedule)
+        elif optimizer == "adamw":
+            inner = optax.adamw(schedule, weight_decay=weight_decay)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.adamw(schedule, weight_decay=weight_decay),
+            inner,
         )
 
     # ------------------------------------------------------------------

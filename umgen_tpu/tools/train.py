@@ -54,6 +54,16 @@ def main(argv=None) -> int:
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "sgd", "sign_sgd"),
+                   help="sign_sgd = stateless sign updates (the only "
+                        "optimizer that trains the 2.4B larger scale on "
+                        "one 16 GB chip; pair with --param_dtype "
+                        "bfloat16 and lr >= 1e-4)")
+    p.add_argument("--param_dtype", default=None,
+                   help="override the master param dtype (bfloat16 "
+                        "halves param+grad memory for single-chip "
+                        "large-scale training)")
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -80,14 +90,17 @@ def main(argv=None) -> int:
         print("no training scenes; use --synthetic_data N")
         return 1
 
-    cfg = ModelConfig(remat=args.remat,
-                      use_pallas_attention=False).scaled(args.model_scale)
+    cfg_kw = dict(remat=args.remat, use_pallas_attention=False)
+    if args.param_dtype:
+        cfg_kw["param_dtype"] = args.param_dtype
+    cfg = ModelConfig(**cfg_kw).scaled(args.model_scale)
     model = UMGen(cfg)
     warmup = args.warmup if args.warmup is not None else \
         min(1000, max(args.steps // 10, 1))
     trainer = UMGenTrainer(model, learning_rate=args.lr,
                            warmup_steps=warmup,
-                           total_steps=args.steps)
+                           total_steps=args.steps,
+                           optimizer=args.optimizer)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     state = trainer.init_state(params)
     if args.resume:
