@@ -90,10 +90,17 @@ def test_generator_with_sharded_params(setup):
     assert out["pose"].shape == (1, 3, 3)
 
 
+@pytest.mark.slow
 def test_cached_rollout_sharded_matches_unsharded(setup):
     """Temporal-cache rollout under a dp=2/tp=2 mesh: the TAR rings carry
     explicit dp/tp sharding constraints (Generator(mesh=...)) and the
-    token stream must match the single-device run (greedy, fp32)."""
+    token stream must match the single-device run (greedy, fp32).
+
+    slow: ~130 s on the 1-core host (4-virtual-device SPMD execution is
+    serial); the gspmd path stays covered in the fast tier by
+    test_sharded_frame_step_matches_unsharded +
+    test_generator_with_sharded_params, and the serving (shard_map)
+    rollout by test_shard_map_dp_rollout_matches_unsharded[True]."""
     cfg, model, params = setup
     from dataclasses import replace
     cfg_c = replace(cfg, tar_mode="temporal_cache")
