@@ -59,11 +59,13 @@ def main():
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
     n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "30"))
-    # default serving config (best measured, PERFORMANCE.md 2026-08-20):
-    # 8 parallel scenes, 8-frame ring window, int4 TAR rings + int8 OAR
-    # cache, W4A8 fused decode with a 4-scene batch-split kernel grid,
-    # chunked prefill — 1.836 f/s/chip over a 30-frame rollout
-    B = int(os.environ.get("UMGEN_BENCH_BATCH", "8"))
+    # default serving config (best measured at the 8-frame ring window,
+    # PERFORMANCE.md 2026-08-20 r3d): 10 parallel scenes, 8-frame ring
+    # window, int4 TAR rings + int8 OAR cache, W4A8 fused decode with a
+    # 5-scene batch-split kernel grid, chunked prefill — 1.975 f/s/chip
+    # (B=16 win-4 measures 2.003 but trades the temporal window down to
+    # 4 frames; window is the quality knob, so the default keeps 8)
+    B = int(os.environ.get("UMGEN_BENCH_BATCH", "10"))
     tar_mode = os.environ.get("UMGEN_BENCH_TAR_MODE", "temporal_cache")
     kv_dtype = os.environ.get("UMGEN_BENCH_KV_DTYPE", "int4")
     T = 20                      # flagship conditioning window
@@ -94,14 +96,16 @@ def main():
                       speculative_bbox=os.environ.get(
                           "UMGEN_BENCH_SPEC_BBOX", "1") == "1",
                       # batch-group size for the fused kernel's innermost
-                      # grid dim (needed to fit VMEM at B=8; 0 = whole
-                      # batch; bb=4 beats bb=2 at B=8 — fewer weight
-                      # re-streams per step).  Default: the largest
-                      # divisor of B that is <= 4, so B=6 runs bb=2
-                      # instead of erroring on a non-divisor.
+                      # grid dim (needed to fit VMEM at B>4; 0 = whole
+                      # batch).  Larger groups mean fewer weight
+                      # re-streams per step (bb=4 beats bb=2 at B=8,
+                      # bb=5 beats bb=2 at B=10); groups above ~5 scenes
+                      # stop fitting VMEM.  Default: the largest divisor
+                      # of B in {5, 4, 3, 2}.
                       oar_batch_block=int(os.environ.get(
                           "UMGEN_BENCH_BATCH_BLOCK",
-                          str((4 if B % 4 == 0 else 2 if B % 2 == 0 else 0)
+                          str(next((d for d in (5, 4, 3, 2)
+                                    if B % d == 0), 0)
                               if fused and B > 4 else 0))),
                       fused_oar_kernel=fused).scaled(scale)
     if cfg.n_embd < 128 and "UMGEN_BENCH_FUSED" not in os.environ:

@@ -31,4 +31,9 @@ UMGEN_BENCH_TAR_MODE=recompute UMGEN_BENCH_BATCH=12 UMGEN_BENCH_WINDOW= \
     UMGEN_BENCH_BATCH_BLOCK=4 UMGEN_BENCH_W4=1 UMGEN_BENCH_FRAMES=4 \
     timeout 2700 python bench.py >> "$LOG" 2>&1
 
+say "r3f stage 4: 30-frame confirmation of B=10 win-8 bb=5 W4 (default candidate)"
+UMGEN_BENCH_BATCH=10 UMGEN_BENCH_WINDOW=8 UMGEN_BENCH_BATCH_BLOCK=5 \
+    UMGEN_BENCH_W4=1 UMGEN_BENCH_FRAMES=30 \
+    timeout 3600 python bench.py >> "$LOG" 2>&1
+
 say "r3f done"

@@ -36,15 +36,20 @@ def main():
     rng = np.random.default_rng(0)
 
     def scan_time(fn, q, k, v, iters=64):
-        def body(c, _):
-            o = fn(c, k, v)
-            return (c + 0 * o.astype(c.dtype), None)
+        # k/v must be explicit jit ARGUMENTS: closed-over arrays embed as
+        # program constants and the compile upload trips the relay's
+        # request-size limit (HTTP 413) at rows >= 40
+        def g_(q0, k_, v_):
+            def body(c, _):
+                o = fn(c, k_, v_)
+                return (c + 0 * o.astype(c.dtype), None)
+            return jax.lax.scan(body, q0, None, length=iters)[0]
 
-        g = jax.jit(lambda q0: jax.lax.scan(body, q0, None, length=iters)[0])
-        out = g(q)
+        g = jax.jit(g_)
+        out = g(q, k, v)
         np.asarray(out[0, 0, 0])            # compile + warm
         t0 = time.perf_counter()
-        out = g(q)
+        out = g(q, k, v)
         np.asarray(out[0, 0, 0])
         return (time.perf_counter() - t0) / iters
 
