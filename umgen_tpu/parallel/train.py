@@ -212,9 +212,13 @@ class UMGenTrainer:
     # ------------------------------------------------------------------
     def jit_train_step(self, mesh=None):
         """jit the step; with a mesh, annotate param/batch shardings so
-        GSPMD partitions the whole step (dp batch, tp tensor parallel)."""
+        GSPMD partitions the whole step (dp batch, tp tensor parallel).
+
+        The state is DONATED: without donation the old and new params
+        coexist across the call (2 x 4.8 GB at the 2.4B scale — what
+        OOMed the r3e single-chip training run at step 2)."""
         if mesh is None:
-            return jax.jit(self.train_step)
+            return jax.jit(self.train_step, donate_argnums=(0,))
 
         from jax.sharding import NamedSharding, PartitionSpec as P
         from umgen_tpu.parallel.mesh import data_sharding, param_sharding
@@ -234,5 +238,5 @@ class UMGenTrainer:
                 batch.items()}
             return state, batch
 
-        step = jax.jit(self.train_step)
+        step = jax.jit(self.train_step, donate_argnums=(0,))
         return step, place
