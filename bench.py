@@ -34,10 +34,15 @@ Environment knobs:
                         serving defaults": bbox stream bit-identical,
                         pose >= 0.99, collision/MMD unchanged; set 0 for
                         the int8 stack)
-  UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 0 =
-                        sequential decode; K>0 drafts from the TAR prior
-                        and verifies chunks via the fused multi-query
-                        kernels)
+  UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 8 when a
+                        trained checkpoint is being served, else 0 —
+                        acceptance is structurally ~0 on random weights
+                        and the verify overhead then costs 40-54%;
+                        lossless either way)
+  UMGEN_BENCH_CKPT      train-state checkpoint to serve (default: the
+                        on-chip-trained output/large_ckpt/final when
+                        present at the larger scale; "" forces random
+                        weights)
 """
 
 import json
@@ -84,6 +89,19 @@ def main():
     oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
                             "int8" if fused or kv_dtype == "int4"
                             else kv_dtype)
+    # trained-checkpoint serving (resolved before the config so the
+    # speculative default can key off it): UMGEN_BENCH_CKPT, or the
+    # on-chip-trained 2.4B at output/large_ckpt when present
+    ckpt_path = os.environ.get("UMGEN_BENCH_CKPT", "")
+    if ckpt_path == "" and scale == "larger":
+        cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "output", "large_ckpt", "final")
+        if os.path.isdir(cand):
+            ckpt_path = cand
+    # speculative decoding defaults ON only with trained weights
+    # (acceptance is structurally ~0 on random weights — measured 40-54%
+    # SLOWER, PERFORMANCE.md; lossless either way)
+    spec_default = "8" if ckpt_path and fused else "0"
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
                       chunked_prefill=os.environ.get(
@@ -92,7 +110,7 @@ def main():
                       oar_pos_unroll=pos_unroll,
                       tar_cache_window=int(window) if window else None,
                       speculative_k=int(os.environ.get(
-                          "UMGEN_BENCH_SPEC_K", "0")),
+                          "UMGEN_BENCH_SPEC_K", spec_default)),
                       speculative_bbox=os.environ.get(
                           "UMGEN_BENCH_SPEC_BBOX", "1") == "1",
                       # batch-group size for the fused kernel's innermost
@@ -117,7 +135,7 @@ def main():
     model = UMGen(cfg)
     ro = Rollout(model)
     params = model.init_params(jax.random.PRNGKey(0))
-    ckpt_path = os.environ.get("UMGEN_BENCH_CKPT")
+    ckpt_step = None
     if ckpt_path:
         # serve a trained checkpoint instead of random weights (needed
         # for any speculative-decoding measurement: acceptance tracks
@@ -127,8 +145,9 @@ def main():
         restored = dict(tree["params"])
         restored["buffers"] = tree.get("buffers") or params["buffers"]
         params = jax.tree.map(jnp.asarray, restored)
+        ckpt_step = int(np.asarray(tree["step"]))
         import sys
-        print(f"# loaded {ckpt_path} (step {int(np.asarray(tree['step']))})",
+        print(f"# loaded {ckpt_path} (step {ckpt_step})",
               file=sys.stderr, flush=True)
     w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
     # "1" and "all" both mean every stack; "decode" restricts to the
@@ -236,6 +255,10 @@ def main():
                 f"{', int8-OAR' if w8 else ''}"
                 f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"
                 f"{f', bb={cfg.oar_batch_block}' if cfg.oar_batch_block else ''}"
+                f"{f', trained-ckpt@{ckpt_step}' if ckpt_step else ''}"
+                f"{f', spec_k={cfg.speculative_k}'
+                   f'({spec_accepted / max(spec_chunks, 1):.2f}/chunk)'
+                   if cfg.speculative_k else ''}"
                 f"; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
                 f"measured)",
