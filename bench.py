@@ -139,11 +139,16 @@ def main():
     if ckpt_path:
         # serve a trained checkpoint instead of random weights (needed
         # for any speculative-decoding measurement: acceptance tracks
-        # TAR confidence and is structurally ~0 on random weights)
+        # TAR confidence and is structurally ~0 on random weights).
+        # Free the random-init trainables FIRST: the f32 init params are
+        # 9.6 GB on device and coexisting with the uploaded checkpoint
+        # OOMed the 16 GB chip (r3e stage 2).
         from umgen_tpu.runtime.checkpoint import load_params
+        buffers = params["buffers"]
+        del params
         tree = load_params(ckpt_path)
         restored = dict(tree["params"])
-        restored["buffers"] = tree.get("buffers") or params["buffers"]
+        restored["buffers"] = tree.get("buffers") or buffers
         params = jax.tree.map(jnp.asarray, restored)
         ckpt_step = int(np.asarray(tree["step"]))
         import sys
