@@ -147,10 +147,17 @@ def main():
         buffers = params["buffers"]
         del params
         tree = load_params(ckpt_path)
+        ckpt_step = int(np.asarray(tree["step"]))
         restored = dict(tree["params"])
         restored["buffers"] = tree.get("buffers") or buffers
+        del buffers
+        # orbax restores straight to DEVICE arrays — drop every extra
+        # reference so the pre-quantization weights actually free when
+        # `params` is rebound below (a lingering `tree` kept 4.8 GB of
+        # bf16 stacks alive through serving and OOMed r3e stage 4)
+        del tree
         params = jax.tree.map(jnp.asarray, restored)
-        ckpt_step = int(np.asarray(tree["step"]))
+        del restored
         import sys
         print(f"# loaded {ckpt_path} (step {ckpt_step})",
               file=sys.stderr, flush=True)
@@ -178,6 +185,7 @@ def main():
         elif cfg.fused_oar_kernel:
             from umgen_tpu.runtime.quantize import pack_fused
             params = pack_fused(params, cfg.oar_cache_dtype)
+    del raw_oar                        # frees the unquantized OAR stack
     jax.block_until_ready(params)
 
     raw = make_token_batch(model.layout, T=T, B=B, seed=0, config=cfg)
