@@ -98,10 +98,14 @@ def main():
                             "output", "large_ckpt", "final")
         if os.path.isdir(cand):
             ckpt_path = cand
-    # speculative decoding defaults ON only with trained weights
-    # (acceptance is structurally ~0 on random weights — measured 40-54%
-    # SLOWER, PERFORMANCE.md; lossless either way)
-    spec_default = "8" if ckpt_path and fused else "0"
+    # speculative decoding stays opt-in: acceptance is ~0 on random
+    # weights, and on the window-3-trained output/large_ckpt it measured
+    # only 0.23 drafts/chunk at the T=20 serving depth (the temporal-PE
+    # slots beyond the trained window are uninitialized — see
+    # PERFORMANCE.md "speculative acceptance"), which makes K=8 a net
+    # loss.  A production checkpoint trained at the full 20-frame window
+    # would not have that mismatch; flip UMGEN_BENCH_SPEC_K=8 to measure.
+    spec_default = "0"
     cfg = ModelConfig(tar_mode=tar_mode,
                       tar_cache_dtype=kv_dtype,
                       chunked_prefill=os.environ.get(

@@ -31,38 +31,51 @@ def main():
     ap.add_argument("--no_bbox", action="store_true",
                     help="keep the bbox segment sequential (measures the "
                          "map/image-only acceptance for comparison)")
+    ap.add_argument("--kv_dtype", default=None,
+                    help="TAR ring dtype override (float8_e4m3fn keeps "
+                         "the 2.4B scale within 16 GB at B=1)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="tar_cache_window override")
     ap.add_argument("--data_root", default=None,
                     help="scene pkls (default: the training synthetic dir "
                          "next to the checkpoint)")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from umgen_tpu.config import DataConfig, ModelConfig
     from umgen_tpu.data.dataset import NuPlanTokenDataset
     from umgen_tpu.models.generate import Generator
     from umgen_tpu.models.umgen import UMGen
-    from umgen_tpu.parallel.train import UMGenTrainer
     from umgen_tpu.runtime import checkpoint as ckpt
 
+    kw = {}
+    if args.kv_dtype:
+        kw["tar_cache_dtype"] = args.kv_dtype
+    if args.window:
+        kw["tar_cache_window"] = args.window
     cfg = ModelConfig(sample_method=args.sample, speculative_k=args.k,
                       speculative_bbox=not args.no_bbox,
-                      use_pallas_attention=False,
+                      use_pallas_attention=False, **kw,
                       ).scaled(args.scale)
     model = UMGen(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    # restore params from the train state (template-shaped)
-    trainer = UMGenTrainer(model)
-    state = trainer.init_state(params)
-    state = ckpt.load_train_state(args.ckpt, state)
-    print(f"loaded step {int(state.step)} from {args.ckpt}")
-    restored = dict(state.params)
-    if "buffers" not in restored:
-        # constant buffers (PE tables, codebooks) are not trainable state
-        restored["buffers"] = params["buffers"]
-    params = restored
+    # template-free restore (works for any optimizer's state layout, and
+    # avoids instantiating a 19 GB adam template at the 2.4B scale);
+    # free the init trainables first — f32 init + restored params would
+    # not coexist on a 16 GB chip at the larger scale
+    buffers = params["buffers"]
+    del params
+    tree = ckpt.load_params(args.ckpt)
+    print(f"loaded step {int(np.asarray(tree['step']))} from {args.ckpt}")
+    restored = dict(tree["params"])
+    restored["buffers"] = tree.get("buffers") or buffers
+    del tree, buffers
+    params = jax.tree.map(jnp.asarray, restored)
+    del restored
 
     data_root = args.data_root or os.path.join(
         os.path.dirname(args.ckpt.rstrip("/")), "synthetic")
@@ -96,7 +109,7 @@ def main():
 
     # sequential comparison run (same checkpoint/seed, spec off)
     cfg0 = ModelConfig(sample_method=args.sample, speculative_k=0,
-                       use_pallas_attention=False).scaled(args.scale)
+                       use_pallas_attention=False, **kw).scaled(args.scale)
     model0 = UMGen(cfg0)
     gen0 = Generator(model0, params, seed=0)
     gen0.generate(cond, new_frames=1, input_cond_frames=-1)
