@@ -1,0 +1,57 @@
+"""Trainer smoke: the jitted (donated) step, both optimizers, resume.
+
+The train step donates its state (required to fit the 2.4B scale on one
+16 GB chip) — these tests pin the donation contract (the returned state
+is usable, loss finite and decreasing-ish) and that the stateless
+sign-SGD path trains at bf16 param dtype.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umgen_tpu.config import ModelConfig
+from umgen_tpu.data.synthetic import make_token_batch
+from umgen_tpu.models.umgen import UMGen
+from umgen_tpu.parallel.train import UMGenTrainer, split_params
+
+
+def _mk(optimizer, param_dtype="float32"):
+    cfg = ModelConfig(use_pallas_attention=False,
+                      param_dtype=param_dtype).scaled("tiny")
+    model = UMGen(cfg)
+    trainer = UMGenTrainer(model, learning_rate=3e-4, warmup_steps=1,
+                           total_steps=10, optimizer=optimizer)
+    params = model.init_params(jax.random.PRNGKey(0))
+    state = trainer.init_state(params)
+    raw = make_token_batch(model.layout, T=3, B=1, seed=0, config=cfg)
+    batch = {k: jnp.asarray(v, jnp.int32) for k, v in raw.items()}
+    return trainer, state, batch
+
+
+@pytest.mark.parametrize("optimizer,pdtype", [
+    ("adamw", "float32"), ("sign_sgd", "bfloat16")])
+def test_train_step_donated_state_round_trips(optimizer, pdtype):
+    trainer, state, batch = _mk(optimizer, pdtype)
+    step = trainer.jit_train_step()
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 3
+    # same batch 3x: the loss must move (donated state really updates)
+    assert losses[2] != losses[0]
+
+
+def test_sign_sgd_state_is_tiny():
+    """sign-SGD must carry no per-parameter optimizer state (the whole
+    point: params + grads alone fit the 2.4B scale on one chip)."""
+    trainer, state, _ = _mk("sign_sgd", "bfloat16")
+    n_param = sum(np.size(x) for x in jax.tree.leaves(state.params))
+    n_opt = sum(np.size(x) for x in jax.tree.leaves(state.opt_state))
+    assert n_opt < 10                       # a step counter, not moments
+    assert n_param > 1_000_000
