@@ -18,8 +18,14 @@ of the PyTorch reference on one A100:
 
 Environment knobs:
   UMGEN_BENCH_SCALE     larger (default) | stander | debug | tiny
-  UMGEN_BENCH_FRAMES    measured frames (default 30 — the flagship rollout
-                        length, + warmup)
+  UMGEN_BENCH_FRAMES    measured frames (default 12; p50 frame latency is
+                        measured stable from 4 frames up — PERFORMANCE.md
+                        B=10 row; set 30 for the full flagship rollout)
+  UMGEN_BENCH_BUDGET_S  wall-clock budget in seconds (default 540).  The
+                        measurement loop stops early (>=4 frames) and the
+                        JSON line still prints if the next frame would
+                        overrun it — the driver's bench run must never
+                        time out again (BENCH_r03 rc=124 post-mortem).
   UMGEN_BENCH_BATCH     parallel scenes (default 8)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  TAR-ring storage: int4 (default; nibble-packed with
@@ -34,15 +40,17 @@ Environment knobs:
                         serving defaults": bbox stream bit-identical,
                         pose >= 0.99, collision/MMD unchanged; set 0 for
                         the int8 stack)
-  UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 8 when a
-                        trained checkpoint is being served, else 0 —
-                        acceptance is structurally ~0 on random weights
-                        and the verify overhead then costs 40-54%;
-                        lossless either way)
+  UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 0 — always
+                        opt-in: acceptance is structurally ~0 on random
+                        weights and the verify overhead then costs 40-54%;
+                        lossless either way.  Set 8 to measure on a
+                        trained checkpoint)
   UMGEN_BENCH_CKPT      train-state checkpoint to serve (default: the
-                        on-chip-trained output/large_ckpt/final when
-                        present at the larger scale; "" forces random
-                        weights)
+                        pre-quantized output/large_ckpt/serving when
+                        present and config-matched — scripts/
+                        make_serving_ckpt.py — else the raw train state
+                        output/large_ckpt/final at the larger scale;
+                        "" forces random weights)
 """
 
 import json
@@ -53,7 +61,25 @@ A100_REFERENCE_FRAMES_PER_SEC = 0.32
 
 
 def main():
+    start_wall = time.time()
+    budget_s = float(os.environ.get("UMGEN_BENCH_BUDGET_S", "540"))
+
     import jax
+
+    # persistent compilation cache — OPT-IN ONLY (UMGEN_BENCH_COMPILE_CACHE
+    # =1).  Small executables round-trip the axon relay fine (2.3 s cold ->
+    # 0.12 s warm across processes), but serializing the big fused decode
+    # executable back through the relay stalled for 8+ minutes (r4a2
+    # post-mortem: 5% CPU, cache dir frozen at 126 MB) — worse than the
+    # 142 s it would save.  The serving-checkpoint fast path is what keeps
+    # the driver run inside budget.
+    if os.environ.get("UMGEN_BENCH_COMPILE_CACHE", "0") == "1":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_tpu_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -63,7 +89,7 @@ def main():
     from umgen_tpu.models.umgen import UMGen
 
     scale = os.environ.get("UMGEN_BENCH_SCALE", "larger")
-    n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "30"))
+    n_frames = int(os.environ.get("UMGEN_BENCH_FRAMES", "12"))
     # default serving config (best measured at the 8-frame ring window,
     # PERFORMANCE.md 2026-08-20 r3d): 10 parallel scenes, 8-frame ring
     # window, int4 TAR rings + int8 OAR cache, W4A8 fused decode with a
@@ -89,15 +115,61 @@ def main():
     oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
                             "int8" if fused or kv_dtype == "int4"
                             else kv_dtype)
+    # quantization knobs (hoisted: the serving-checkpoint fast path below
+    # must check they match the pre-quantized artifact's config)
+    w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
+    # "1" and "all" both mean every stack; "decode" restricts to the
+    # decode-path stacks (the historical W8=1 meaning)
+    w8 = w8_mode in ("1", "all", "decode")
+    # W4A8 OAR weights need the fused w4 kernel; default on (best measured:
+    # +6% over int8 at B=8 — quality budget on a trained checkpoint in
+    # PERFORMANCE.md)
+    w4 = os.environ.get("UMGEN_BENCH_W4", "1" if fused else "0") == "1"
+    if w4 and not fused:
+        raise SystemExit("UMGEN_BENCH_W4=1 requires the fused kernel "
+                         "(UMGEN_BENCH_FUSED=1)")
+
     # trained-checkpoint serving (resolved before the config so the
-    # speculative default can key off it): UMGEN_BENCH_CKPT, or the
-    # on-chip-trained 2.4B at output/large_ckpt when present
+    # speculative default can key off it): UMGEN_BENCH_CKPT, or — the
+    # r3 rc=124 fix — the PRE-QUANTIZED serving artifact
+    # (scripts/make_serving_ckpt.py) which skips 2.4B random init, the
+    # 3.5 GB train-state restore AND host-side quantization (~11 min of
+    # the r3 bench wall), falling back to the raw train state.
     ckpt_path = os.environ.get("UMGEN_BENCH_CKPT", "")
+    serving_path = ""
     if ckpt_path == "" and scale == "larger":
-        cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "output", "large_ckpt", "final")
-        if os.path.isdir(cand):
-            ckpt_path = cand
+        here = os.path.dirname(os.path.abspath(__file__))
+        serv = os.path.join(here, "output", "large_ckpt", "serving")
+        meta_f = serv + "_meta.json"
+        if os.path.isdir(serv) and os.path.isfile(meta_f):
+            with open(meta_f) as f:
+                meta = json.load(f)
+            want = {"scale": scale, "w8_mode": w8_mode, "w4": w4,
+                    "fused": fused, "oar_kv": oar_kv}
+            if all(meta.get(k) == v for k, v in want.items()):
+                serving_path = serv
+        if not serving_path:
+            cand = os.path.join(here, "output", "large_ckpt", "final")
+            if os.path.isdir(cand):
+                ckpt_path = cand
+
+    # temporal-PE clamp: serve with tpe indices clamped to the
+    # checkpoint's trained window so rollouts deeper than it never index
+    # untrained tpe rows (the r3 acceptance-collapse root cause).
+    # UMGEN_BENCH_TPE_CLAMP overrides; "" forces the config default.
+    tpe_clamp = None
+    meta_src = (serving_path + "_meta.json") if serving_path else (
+        os.path.join(os.path.dirname(ckpt_path), "train_meta.json")
+        if ckpt_path else "")
+    if meta_src and os.path.isfile(meta_src):
+        with open(meta_src) as f:
+            _meta = json.load(f)
+        win = _meta.get("trained_window") or _meta.get("window")
+        if win:
+            tpe_clamp = int(win) - 1
+    env_clamp = os.environ.get("UMGEN_BENCH_TPE_CLAMP")
+    if env_clamp is not None:
+        tpe_clamp = int(env_clamp) if env_clamp else None
     # speculative decoding stays opt-in: acceptance is ~0 on random
     # weights, and on the window-3-trained output/large_ckpt it measured
     # only 0.23 drafts/chunk at the T=20 serving depth (the temporal-PE
@@ -107,6 +179,7 @@ def main():
     # would not have that mismatch; flip UMGEN_BENCH_SPEC_K=8 to measure.
     spec_default = "0"
     cfg = ModelConfig(tar_mode=tar_mode,
+                      tpe_clamp=tpe_clamp,
                       tar_cache_dtype=kv_dtype,
                       chunked_prefill=os.environ.get(
                           "UMGEN_BENCH_CHUNKED_PREFILL", "1") == "1",
@@ -138,9 +211,36 @@ def main():
         cfg = dc_replace(cfg, fused_oar_kernel=False)
     model = UMGen(cfg)
     ro = Rollout(model)
-    params = model.init_params(jax.random.PRNGKey(0))
     ckpt_step = None
-    if ckpt_path:
+    if serving_path:
+        # load-and-go: the tree is already int8-quantized + w4-packed and
+        # includes buffers.  Restore to HOST + plain jnp.asarray upload:
+        # orbax's direct-to-device restore through the axon relay makes
+        # the first big-executable run stall 450-950 s (measured,
+        # scripts/probe_serving_stall.py) — the host path costs a
+        # predictable ~50 s restore + ~90 s upload instead.
+        import sys
+        from umgen_tpu.runtime.checkpoint import load_params
+        tree = load_params(serving_path, host=True)
+        ckpt_step = int(np.asarray(tree["step"]))
+        # async upload (fast, pipelined), then force FULL materialization
+        # with one jitted consume: the relay materializes uncommitted
+        # uploads lazily, and paying that lazily inside the first big
+        # executables measured as a ~600 s stall (r4a10-12 post-mortem);
+        # per-leaf committed device_put is even worse (sync round-trips)
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        del tree
+        touch = jax.jit(lambda p: jax.tree.reduce(
+            lambda a, x: a + x.ravel()[0].astype(jnp.float32),
+            p, jnp.float32(0)))
+        jax.block_until_ready(touch(params))
+        ckpt_path = serving_path       # data-dir conditioning keys off it
+        print(f"# loaded pre-quantized {serving_path} (step {ckpt_step}, "
+              f"{time.time() - start_wall:.0f}s since start)",
+              file=sys.stderr, flush=True)
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
+    if ckpt_path and not serving_path:
         # serve a trained checkpoint instead of random weights (needed
         # for any speculative-decoding measurement: acceptance tracks
         # TAR confidence and is structurally ~0 on random weights).
@@ -165,32 +265,23 @@ def main():
         import sys
         print(f"# loaded {ckpt_path} (step {ckpt_step})",
               file=sys.stderr, flush=True)
-    w8_mode = os.environ.get("UMGEN_BENCH_W8", "all")
-    # "1" and "all" both mean every stack; "decode" restricts to the
-    # decode-path stacks (the historical W8=1 meaning)
-    w8 = w8_mode in ("1", "all", "decode")
-    # W4A8 OAR weights need the fused w4 kernel; default on (best measured:
-    # +6% over int8 at B=8 — quality budget on a trained checkpoint in
-    # PERFORMANCE.md)
-    w4 = os.environ.get("UMGEN_BENCH_W4", "1" if fused else "0") == "1"
-    if w4 and not fused:
-        raise SystemExit("UMGEN_BENCH_W4=1 requires the fused kernel "
-                         "(UMGEN_BENCH_FUSED=1)")
-    raw_oar = params["oar"] if w4 else None
-    if w8:
-        from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, DECODE_KEYS,
-                                                quantize_params_int8)
-        params = quantize_params_int8(
-            params, keys=DECODE_KEYS if w8_mode == "decode"
-            else ALL_STACK_KEYS)
-        if cfg.fused_oar_kernel and w4:
-            from umgen_tpu.runtime.quantize import pack_fused_w4
-            params = pack_fused_w4(params, raw_oar)
-        elif cfg.fused_oar_kernel:
-            from umgen_tpu.runtime.quantize import pack_fused
-            params = pack_fused(params, cfg.oar_cache_dtype)
-    del raw_oar                        # frees the unquantized OAR stack
-    jax.block_until_ready(params)
+    if not serving_path:
+        raw_oar = params["oar"] if w4 else None
+        if w8:
+            from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS,
+                                                    DECODE_KEYS,
+                                                    quantize_params_int8)
+            params = quantize_params_int8(
+                params, keys=DECODE_KEYS if w8_mode == "decode"
+                else ALL_STACK_KEYS)
+            if cfg.fused_oar_kernel and w4:
+                from umgen_tpu.runtime.quantize import pack_fused_w4
+                params = pack_fused_w4(params, raw_oar)
+            elif cfg.fused_oar_kernel:
+                from umgen_tpu.runtime.quantize import pack_fused
+                params = pack_fused(params, cfg.oar_cache_dtype)
+        del raw_oar                    # frees the unquantized OAR stack
+        jax.block_until_ready(params)
 
     data_dir = os.environ.get("UMGEN_BENCH_DATA", "")
     if data_dir == "" and ckpt_path:
@@ -226,6 +317,12 @@ def main():
     # warmup / compile.  NB: block_until_ready is unreliable through remote
     # TPU relays — force a device→host fetch to guarantee completion (the
     # production harness fetches tokens every frame anyway).
+    import sys
+
+    def note(msg):
+        print(f"# {msg} ({time.time() - start_wall:.0f}s since start)",
+              file=sys.stderr, flush=True)
+
     cached = tar_mode == "temporal_cache"
     t0 = time.perf_counter()
     if cached:
@@ -235,11 +332,21 @@ def main():
             # activations) — what makes B>=6 fit a 16 GB chip
             ingest = jax.jit(ro.ingest_frame, donate_argnums=(3,))
             cache = jax.jit(lambda: model.init_tar_cache(B))()
+            sync_ingest = os.environ.get("UMGEN_BENCH_SYNC_INGEST",
+                                         "0") == "1"
             for t in range(T - 1):
                 frame_t = {m: inputs[m][:, t:t + 1]
                            for m in model.layout.mod_order}
+                t1 = time.time()
                 cache = ingest(params, frame_t, inputs["pose"][:, t + 1],
                                cache)
+                if sync_ingest:
+                    jax.block_until_ready(cache)
+                    if t < 3 or t == T - 2:
+                        note(f"ingest {t}: {time.time() - t1:.1f}s")
+                if t == 0:
+                    note("ingest compiled + frame 0 ingested")
+            note("prefill ingested")
             last = {m: inputs[m][:, T - 1:]
                     for m in model.layout.mod_order}
             out, cache = step(params, last, cache, rng)
@@ -247,6 +354,7 @@ def main():
             prefill = jax.jit(ro.frame_step_prefill)
             out, cache = prefill(params, inputs, rng)
         tokens = np.asarray(out.tokens)
+        note("decode step compiled")
         newest = {m: jnp.asarray(tokens[:, sl[m]][:, None]) for m in
                   model.layout.mod_order}
         # compile the steady-state step too
@@ -265,6 +373,17 @@ def main():
     lat = []
     spec_chunks = spec_accepted = 0
     for i in range(n_frames):
+        # wall-clock budget guard (BENCH_r03 rc=124 post-mortem): stop
+        # measuring — p50 is stable from 4 frames — rather than let the
+        # driver's timeout kill the run with no JSON on stdout.  10 s
+        # slack covers the device->host fetch + report.
+        if lat and len(lat) >= 4 and (
+                time.time() - start_wall + 1.5 * lat[-1] > budget_s - 10):
+            import sys
+            print(f"# budget guard: stopping after {len(lat)} frames "
+                  f"({time.time() - start_wall:.0f}s elapsed of "
+                  f"{budget_s:.0f}s budget)", file=sys.stderr, flush=True)
+            break
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         if cached:
@@ -285,9 +404,18 @@ def main():
                 [inputs[m][:, 1:], jnp.asarray(frame[m])], axis=1)
                 for m in model.layout.mod_order}
 
+    n_measured = len(lat)
     lat = np.asarray(lat)
     p50 = float(np.median(lat))
     fps_chip = B / p50
+
+    # plain variables, not nested-f-string replacement fields: multi-line
+    # nested f-strings are a SyntaxError before Python 3.12 (ADVICE r3)
+    spec_str = (f", spec_k={cfg.speculative_k}"
+                f"({spec_accepted / max(spec_chunks, 1):.2f}/chunk)"
+                if cfg.speculative_k else "")
+    ckpt_str = f", trained-ckpt@{ckpt_step}" if ckpt_step else ""
+    bb_str = f", bb={cfg.oar_batch_block}" if cfg.oar_batch_block else ""
 
     result = {
         "metric": "frames_per_sec_per_chip",
@@ -297,13 +425,9 @@ def main():
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
                 f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"
-                f"{f', bb={cfg.oar_batch_block}' if cfg.oar_batch_block else ''}"
-                f"{f', trained-ckpt@{ckpt_step}' if ckpt_step else ''}"
-                f"{f', spec_k={cfg.speculative_k}'
-                   f'({spec_accepted / max(spec_chunks, 1):.2f}/chunk)'
-                   if cfg.speculative_k else ''}"
+                f"{bb_str}{ckpt_str}{spec_str}"
                 f"; p50 frame latency "
-                f"{p50:.3f}s; compile {compile_s:.0f}s; {n_frames} frames "
+                f"{p50:.3f}s; compile {compile_s:.0f}s; {n_measured} frames "
                 f"measured)",
         "vs_baseline": round(fps_chip / A100_REFERENCE_FRAMES_PER_SEC, 3),
     }

@@ -1,0 +1,95 @@
+"""Pre-quantize the trained 2.4B train-state into a serving checkpoint.
+
+Round-3 post-mortem (VERDICT.md r3 weak #1): `python bench.py` spent
+~11 minutes of its 16.5-minute wall on serving-state *preparation* —
+random-initialising 2.4B f32 params on device, orbax-restoring the
+3.5 GB train state, then quantizing on the HOST (numpy) which round-trips
+4.8 GB of bf16 weights down the axon relay and 2.4 GB of int8 back up.
+The driver's bench budget killed it (BENCH_r03 rc=124).
+
+This script does all of that ONCE, offline, on CPU:
+
+  train state (output/large_ckpt/final, 3.5 GB)
+    → quantize_params_int8(ALL_STACK_KEYS)      # int8 everywhere
+    → pack_fused_w4(raw oar)                    # W4A8 fused-kernel blocks
+    → output/large_ckpt/serving (+ meta.json)   # ~2.6 GB, load-and-go
+
+bench.py then restores the serving tree straight to the TPU — no init,
+no quantization, ~40% fewer upload bytes.  serving_meta.json records the
+quantization config so bench.py only uses the artifact when its env-knob
+config matches (otherwise it falls back to the raw train state).
+
+Run on CPU (quantization is numpy/host-side anyway):
+    JAX_PLATFORMS=cpu python scripts/make_serving_ckpt.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(REPO, "output", "large_ckpt", "final")
+DST = os.path.join(REPO, "output", "large_ckpt", "serving")
+
+# the bench-default serving quantization (bench.py defaults as of r4)
+META = {
+    "scale": "larger",
+    "w8_mode": "all",
+    "w4": True,
+    "fused": True,
+    "oar_kv": "int8",
+}
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--dst", default=DST)
+    args = ap.parse_args()
+
+    from umgen_tpu.runtime.checkpoint import load_params, save_params
+    from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, pack_fused_w4,
+                                            quantize_params_int8)
+
+    meta = dict(META)
+    train_meta = os.path.join(os.path.dirname(args.src), "train_meta.json")
+    if os.path.isfile(train_meta):
+        with open(train_meta) as f:
+            meta["trained_window"] = json.load(f).get("window")
+
+    t0 = time.time()
+    print(f"restoring {args.src} ...", flush=True)
+    tree = load_params(args.src)
+    step = int(__import__("numpy").asarray(tree["step"]))
+    print(f"  restored step {step} in {time.time() - t0:.0f}s", flush=True)
+
+    params = dict(tree["params"])
+    buffers = tree.get("buffers") or params.get("buffers")
+    raw_oar = params["oar"]
+
+    t1 = time.time()
+    params = quantize_params_int8(params, keys=ALL_STACK_KEYS)
+    print(f"  int8 quantization in {time.time() - t1:.0f}s", flush=True)
+
+    t1 = time.time()
+    params = pack_fused_w4(params, raw_oar)
+    del raw_oar, tree
+    print(f"  w4 packing in {time.time() - t1:.0f}s", flush=True)
+
+    params["buffers"] = buffers
+    t1 = time.time()
+    save_params(args.dst, {"params": params, "step": step})
+    with open(args.dst + "_meta.json", "w") as f:
+        json.dump(dict(meta, step=step), f)
+    print(f"  saved {args.dst} in {time.time() - t1:.0f}s "
+          f"(total {time.time() - t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,8 +4,9 @@ model's hot shapes, on chip.
 Round 3 rewrote the kernel with Dh-on-sublanes operands (dim-0
 contraction), removing the 48 -> 128 lane padding (2.67x wasted MXU work
 and HBM traffic).  This probe rechecks (a) the kernel's achieved TF/s at
-the TAR spatial shapes and (b) the XLA-vs-Pallas crossover that sets
-ops/attention._PALLAS_LOGITS_THRESHOLD.
+the TAR spatial shapes and (b) the XLA-vs-Pallas crossover behind
+ops/attention._PALLAS_MIN_SK (dispatch is now a pure Sk threshold:
+Pallas for every Sk >= _PALLAS_MIN_SK).
 
 Scan-timed (>= 64 iterations) per PERFORMANCE.md measurement hygiene.
 """

@@ -201,6 +201,14 @@ class ModelConfig:
     # N frames).  0 = never refresh (pure ring retention, the fastest
     # serving default); 1 = exact sliding window every frame.
     tar_cache_refresh: int = 0
+    # temporal-PE clamp for the cached path: frame slots index
+    # min(abs_frame, tpe_clamp) so rollouts deeper than a checkpoint's
+    # trained window never hit untrained tpe rows (the diagnosed root
+    # cause of the r3 speculative-acceptance depth collapse).  None =
+    # clamp at max_frame_len - 1.  Serving sets this to
+    # trained_window - 1 from checkpoint metadata (see models/umgen.py
+    # add_pos_emb for the reference-semantics argument).
+    tpe_clamp: Optional[int] = None
     # experimental single-launch Pallas decode step (ops/decode_kernel);
     # currently slower than the XLA path on v5e — off by default
     fused_oar_kernel: bool = False
@@ -246,6 +254,13 @@ class ModelConfig:
     @property
     def mod_order(self) -> Tuple[str, ...]:
         return TASKS[self.task]
+
+    def __post_init__(self):
+        if self.tar_cache_refresh > 0 and self.tar_cache_window == 1:
+            raise ValueError(
+                "tar_cache_refresh requires tar_cache_window >= 2: a "
+                "1-frame ring keeps no history to re-ingest, so the "
+                "refresh would silently never fire")
 
     @property
     def sample_img(self) -> bool:

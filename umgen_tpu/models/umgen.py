@@ -261,10 +261,28 @@ class UMGen:
         """+ sequence PE + temporal PE (ref:UMGen.py:483-515).
 
         t_offset shifts the temporal-PE index (used by the temporal-cache
-        fast path where absolute frame ids roll through the table)."""
+        fast path where absolute frame ids grow without bound).
+
+        Index saturation, NOT wraparound: the reference re-embeds the slid
+        window every frame (ref:UMGen.py:1600-1603), so no frame ever
+        indexes a ``tpe`` row beyond its window and rows past the trained
+        window stay untrained for ANY checkpoint.  The cached path cannot
+        re-embed history, so deep rollouts would index those untrained
+        rows (measured: speculative acceptance collapses 1.41 -> 0.23
+        past the trained window, PERFORMANCE.md "speculative acceptance").
+        Clamping reproduces the reference's steady state — the newest
+        frame of a full window holds the LAST trained slot — instead of
+        the old ``% max_frame_len`` wrap, which re-used slot 0 for frame
+        ``max_frame_len`` (a semantic lie on both counts).
+        ``config.tpe_clamp`` tightens the clamp to a checkpoint's actual
+        trained window (bench/serving wire it from checkpoint metadata).
+        """
         B, T, S, D = x.shape
         spe = params["spe"][:S][None, None]
-        tpe_idx = (jnp.arange(T) + t_offset) % self.config.max_frame_len
+        clamp = self.config.tpe_clamp
+        if clamp is None:
+            clamp = self.config.max_frame_len - 1
+        tpe_idx = jnp.minimum(jnp.arange(T) + t_offset, clamp)
         tpe = params["tpe"][tpe_idx][None, :, None, :]
         return x + spe + tpe
 

@@ -30,15 +30,33 @@ def save_params(path: str, params: Dict[str, Any]) -> str:
     return path
 
 
-def load_params(path: str, like: Optional[Dict[str, Any]] = None
-                ) -> Dict[str, Any]:
+def load_params(path: str, like: Optional[Dict[str, Any]] = None,
+                host: bool = False) -> Dict[str, Any]:
+    """Restore a param tree.
+
+    ``host=True`` restores every leaf as ``np.ndarray`` on the HOST
+    instead of letting orbax device_put them.  On remote-relay TPU
+    backends (axon) orbax's direct-to-device restore leaves the arrays
+    in a state whose FIRST consumption by a large executable stalls
+    ~450-950 s (measured, scripts/probe_serving_stall.py r4a5/r4a7);
+    a host restore + plain ``jnp.asarray`` upload — the path serving
+    has always used for quantized weights — avoids that entirely.
+    """
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
+    ckptr = _ckptr()
+    if host:
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+            is_leaf=lambda x: not isinstance(x, dict))
+        return ckptr.restore(path, restore_args=restore_args)
     if like is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like) \
             if hasattr(ocp.utils, "to_shape_dtype_struct") else like
-        return _ckptr().restore(path, item=target)
-    return _ckptr().restore(path)
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)
 
 
 def save_train_state(path: str, state) -> str:

@@ -115,6 +115,16 @@ def main(argv=None) -> int:
         step_fn = trainer.jit_train_step()
         place = None
 
+    # record the training regime next to the checkpoints — serving needs
+    # trained window length to clamp temporal-PE indices (config.tpe_clamp)
+    # so deep cached rollouts never index untrained tpe rows
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    import json
+    with open(os.path.join(args.ckpt_dir, "train_meta.json"), "w") as f:
+        json.dump({"window": args.window, "model_scale": args.model_scale,
+                   "optimizer": args.optimizer, "steps": args.steps,
+                   "batch_size": args.batch_size}, f)
+
     it = batch_iterator(dataset, args.batch_size, args.window, args.seed)
     rng = jax.random.PRNGKey(args.seed + 1)
     t0 = time.perf_counter()
