@@ -1,0 +1,53 @@
+"""Two-process DCN smoke test (VERDICT r3 #8).
+
+``evaluate.py --launcher`` wires ``jax.distributed.initialize()``
+(umgen_tpu/tools/evaluate.py, ref dead flag evaluate.py:126-131); this
+validates the actual multi-process path end-to-end on loopback: two
+OS processes x 4 virtual CPU devices = one 8-device global mesh, a
+cross-process psum, and a dp-sharded rollout step whose results agree
+byte-for-byte across hosts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_dcn_psum_and_dp_rollout():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "dcn_worker.py"),
+         coord, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            p.kill()
+    lines = [next(ln for ln in o.splitlines() if ln.startswith("DCN_OK"))
+             for o in outs]
+    # both processes computed over the GLOBAL mesh: psum over 8 devices of
+    # arange(8) = 28, and the dp rollout checksum must agree across hosts
+    assert all(ln.split()[1] == "28" for ln in lines), lines
+    assert lines[0].split()[2] == lines[1].split()[2], lines

@@ -416,3 +416,125 @@ def test_gmlp_projection_parity(ref_ctx, our_pair):
         theirs = ref.map_mlp_pre(torch.from_numpy(x))
     ours = mlp(params["map_mlp_pre"], x)
     _close(ours, theirs)
+
+
+@pytest.mark.slow
+def test_import_full_larger_scale_state_dict(ref_ctx):
+    """2.4B-scale import fidelity without the weights file (VERDICT r3 #5).
+
+    Synthesizes a DeepSpeed-format state dict covering EVERY key of the
+    "larger" scale — the reference's named scales only change layer
+    counts (ref:infer_fun.py:141-157), so replicating each stack's
+    layer-0 tensors across the larger counts reproduces the exact key
+    space of UMGen_Large.pt — plus the CPU-mode PE-as-Parameter keys
+    (ref:UMGen.py:257-261).  Round-trips it through ``import_umgen`` and
+    asserts:
+
+    * every parameter key is CONSUMED except the deterministic PE /
+      codebook tables (rebuilt by build_buffers) — and nothing else;
+    * the imported tree is SHAPE-EXACT against the native
+      ``init_params`` tree (via jax.eval_shape — no 9.6 GB materialize);
+    * stacking order: layer i of every stack holds layer i's tensors;
+    * the torch [out, in] → [in, out] transpose on a spot-checked leaf.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from umgen_tpu.config import ModelConfig
+    from umgen_tpu.models.umgen import UMGen
+    from umgen_tpu.runtime.torch_import import (extract_state_dict,
+                                                import_umgen)
+
+    torch, ref, mc = ref_ctx
+    cfg = ModelConfig(dtype="float32", param_dtype="float32"
+                      ).scaled("larger")
+
+    param_keys = {k for k, _ in ref.named_parameters()}
+    counts = {
+        "transformer.TAR.": cfg.n_tar_layer,
+        "transformer.OAR.": cfg.n_oar_layer,
+        "transformer.map_tar.": cfg.n_map_tar_layer,
+        "transformer.box_tar.": cfg.n_box_tar_layer,
+        "transformer.ego_tar.": cfg.n_ego_tar_layer,
+        "transformer.ego_cross_attn.": cfg.n_ego_ca_layer,
+    }
+
+    def widen(keys):
+        """debug (1-layer) key space -> larger key space."""
+        out, out_params = {}, set()
+        for k, v in keys:
+            for pref, n in counts.items():
+                if k.startswith(pref):
+                    idx, rest = k[len(pref):].split(".", 1)
+                    assert idx == "0"      # debug scale: single layer
+                    for i in range(n):
+                        kk = f"{pref}{i}.{rest}"
+                        # tag layer order into the tensor so stacking
+                        # order is checkable: layer i = base + i
+                        out[kk] = v + float(i)
+                        out_params.add(kk)
+                    break
+            else:
+                out[k] = v
+                out_params.add(k)
+        return out, out_params
+
+    sd_full, param_keys_full = widen(
+        [(k, v.detach().clone()) for k, v in ref.named_parameters()])
+
+    class TrackingDict(dict):
+        def __init__(self, d):
+            super().__init__(d)
+            self.accessed = set()
+
+        def __getitem__(self, k):
+            self.accessed.add(k)
+            return super().__getitem__(k)
+
+        def get(self, k, default=None):     # biases go through .get
+            if super().__contains__(k):
+                self.accessed.add(k)
+            return super().get(k, default)
+
+    tracked = TrackingDict(sd_full)
+    # DeepSpeed container shape (ref:infer_fun.py:43-50)
+    sd = extract_state_dict({"module": tracked})
+    assert sd is tracked
+    imported = import_umgen(sd, cfg)
+
+    # 1. consumption: everything except the deterministic tables
+    expected_skip = {k for k in param_keys_full
+                     if k.startswith(("fouier_pe", "bbox3d_spatial_posi",
+                                      "grid_center_posi_embedding",
+                                      "map_codebook", "img_codebook"))}
+    # CPU-mode PE-as-Parameter keys must exist in the synthetic dict
+    # (the debug oracle runs on CPU, ref:UMGen.py:257-261)
+    assert any(k.startswith("fouier_pe") for k in param_keys_full)
+    missing = param_keys_full - expected_skip - tracked.accessed
+    phantom = tracked.accessed - param_keys_full
+    assert not missing, sorted(missing)[:8]
+    assert not phantom, sorted(phantom)[:8]
+
+    # 2. shape-exact vs the native init tree (buffers excluded)
+    native = jax.eval_shape(
+        lambda k: UMGen(cfg).init_params(k), jax.random.PRNGKey(0))
+    native.pop("buffers")
+    imp_shapes = jax.tree.map(lambda a: np.asarray(a).shape, imported)
+    nat_shapes = jax.tree.map(lambda a: tuple(a.shape), native)
+    assert jax.tree.structure(imp_shapes) == jax.tree.structure(nat_shapes)
+    for (pa, si), (_, sn) in zip(
+            jax.tree_util.tree_leaves_with_path(imp_shapes),
+            jax.tree_util.tree_leaves_with_path(nat_shapes)):
+        assert si == sn, (jax.tree_util.keystr(pa), si, sn)
+
+    # 3. stacking order: the +i tag must appear at stack row i
+    qkv = np.asarray(imported["tar"]["sa1"]["qkv"]["w"])
+    base = qkv[0]
+    for i in (1, cfg.n_tar_layer // 2, cfg.n_tar_layer - 1):
+        np.testing.assert_allclose(qkv[i], base + i, atol=1e-5)
+
+    # 4. transpose quirk: torch Linear stores [out, in]; ours is [in, out]
+    ref_head = sd_full["transformer.head_ego.weight"]
+    np.testing.assert_allclose(
+        np.asarray(imported["head_ego"]["w"]),
+        ref_head.detach().numpy().T, atol=0)
