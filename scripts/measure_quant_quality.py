@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--sample", default="greedy",
                     choices=("greedy", "topk"))
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="scenes rolled per config in ONE batched "
+                         "generate (VERDICT r3 #4 asks >= 8)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent sampling seeds per config "
+                         "(run-to-run spread; meaningful with --sample "
+                         "topk)")
     args = ap.parse_args()
     window = args.window or args.cond
 
@@ -55,35 +62,53 @@ def main():
         "D_w4_stack": dict(w8=True, w4_sim=True, tar_cache_dtype="int4",
                            oar_cache_dtype="int8"),
     }
-    outs, model, gt = {}, None, None
-    for name, kw in configs.items():
-        out, gt, model = rollout(args.scale, "temporal_cache", args.ckpt,
-                                 args.cond, args.frames, window,
-                                 args.sample, **kw)
-        outs[name] = out
-
+    import numpy as np
     pipeline = ScenePipeline()
-    ref = outs["A_fp_reference"]
-    gt_b = gt["bbox3d"][0, args.cond:args.cond + args.frames]
-    gb, gc, gv = pipeline.decode_bboxes(gt_b)
-    report = {}
-    for name, out in outs.items():
-        row = {}
-        if name != "A_fp_reference":
-            row["token_agreement_vs_A"] = {
-                m: round(float((out[m][0, args.cond:] ==
-                                ref[m][0, args.cond:]).mean()), 4)
-                for m in model.layout.mod_order}
-        pb, pc, pv = pipeline.decode_bboxes(out["bbox3d"][0, args.cond:])
+
+    def scene_metrics(out, gt, s):
+        """collision rate + positional MMD for scene s of a batched out."""
+        pb, pc, pv = pipeline.decode_bboxes(out["bbox3d"][s, args.cond:])
         bo = BoxOverlap()
         bo.update([pb[t][pv[t]] for t in range(pb.shape[0])])
+        gb, gc, gv = pipeline.decode_bboxes(
+            gt["bbox3d"][s, args.cond:args.cond + args.frames])
         mmd = MMDMetric()
         n = min(len(gb), len(pb))
         mmd.update(pb[:n][pv[:n]], pc[:n][pv[:n]],
                    gb[:n][gv[:n]], gc[:n][gv[:n]])
-        row["collision_rate"] = bo.average()
-        row["mmd_vs_gt"] = mmd.average()
-        report[name] = row
+        return bo.average()[0], mmd.average()["posi"]
+
+    # per (config, seed): one batched rollout over all scenes; stats are
+    # aggregated over scenes x seeds so a defensible mean +/- spread backs
+    # (or demotes) each lossy serving default
+    acc = {name: {"collision": [], "mmd_posi": [], "agree": []}
+           for name in configs}
+    model = None
+    for si in range(args.seeds):
+        ref = None
+        for name, kw in configs.items():
+            out, gt, model = rollout(args.scale, "temporal_cache",
+                                     args.ckpt, args.cond, args.frames,
+                                     window, args.sample,
+                                     scenes=args.scenes, seed=si, **kw)
+            if name == "A_fp_reference":
+                ref = out
+            else:
+                acc[name]["agree"].append(float(np.mean(
+                    [(out[m][:, args.cond:] ==
+                      ref[m][:, args.cond:]).mean()
+                     for m in model.layout.mod_order])))
+            for s in range(args.scenes):
+                col, mmd_posi = scene_metrics(out, gt, s)
+                acc[name]["collision"].append(col)
+                acc[name]["mmd_posi"].append(mmd_posi)
+
+    def stat(xs):
+        return {"mean": round(float(np.mean(xs)), 4),
+                "std": round(float(np.std(xs)), 4), "n": len(xs)}
+
+    report = {name: {k: stat(v) for k, v in d.items() if v}
+              for name, d in acc.items()}
     print(json.dumps(report, indent=1))
     return 0
 

@@ -121,7 +121,8 @@ def test_cached_rollout_sharded_matches_unsharded(setup):
         assert agree >= 0.995, (m, agree)
 
 
-@pytest.mark.parametrize("chunked", [
+@pytest.mark.slow          # 67 s on the 1-core host; fast-tier dp
+@pytest.mark.parametrize("chunked", [  # coverage: test_sharded_frame_step
     pytest.param(False, marks=pytest.mark.slow),   # chunked=True covers
     True])                                         # the same program path
 def test_shard_map_dp_rollout_matches_unsharded(setup, chunked):
@@ -189,7 +190,8 @@ def test_shard_map_guards(setup):
         Generator(model, params, spmd="shard_map")
 
 
-def test_shard_map_forced_streams_dp2(setup):
+@pytest.mark.slow          # 36 s on the 1-core host; the dp-sharded fast
+def test_shard_map_forced_streams_dp2(setup):   # path stays covered by
     """init_token_mod replay through the shard_map dp path (VERDICT r2
     task 6): forced modalities are per-scene token streams sharded over
     dp like any other input; the forced frames must be byte-equal to GT

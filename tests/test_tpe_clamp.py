@@ -67,7 +67,8 @@ def test_tpe_clamp_rows_beyond_trained_window_never_read():
         assert (out_clean[m] == out_poisoned[m]).all(), m
 
 
-def test_unclamped_depth_does_read_deep_rows():
+@pytest.mark.slow            # 32 s (full second tiny-model compile); a
+def test_unclamped_depth_does_read_deep_rows():   # sensitivity check only
     """Sensitivity check for the test above: WITHOUT the tight clamp the
     same poisoned rows ARE read once the rollout passes frame 3, so the
     outputs must differ — i.e. the clamp is what provides the guarantee,

@@ -31,7 +31,11 @@ def _mk(optimizer, param_dtype="float32"):
 
 
 @pytest.mark.parametrize("optimizer,pdtype", [
-    ("adamw", "float32"), ("sign_sgd", "bfloat16")])
+    # adamw-f32 is 42 s on the 1-core host and exercises the same
+    # donation/round-trip machinery; the fast tier keeps the production
+    # single-chip combo (sign-SGD + bf16, what trains the 2.4B)
+    pytest.param("adamw", "float32", marks=pytest.mark.slow),
+    ("sign_sgd", "bfloat16")])
 def test_train_step_donated_state_round_trips(optimizer, pdtype):
     trainer, state, batch = _mk(optimizer, pdtype)
     step = trainer.jit_train_step()

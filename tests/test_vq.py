@@ -94,7 +94,8 @@ class TestTorchParity:
         assert agree >= 0.99, agree
 
 
-def test_train_vq_driver(tmp_path):
+@pytest.mark.slow            # 23 s end-to-end driver; unit coverage of the
+def test_train_vq_driver(tmp_path):   # VQ stack stays in the fast tier
     """The VQ training driver (the reference ships pretrained codecs only):
     loss must fall, and the saved checkpoint must load into the inference
     decode path."""

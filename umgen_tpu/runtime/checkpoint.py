@@ -50,7 +50,7 @@ def load_params(path: str, like: Optional[Dict[str, Any]] = None,
         tree = meta.tree if hasattr(meta, "tree") else meta
         restore_args = jax.tree.map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
-            is_leaf=lambda x: not isinstance(x, dict))
+            is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
         return ckptr.restore(path, restore_args=restore_args)
     if like is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like) \
@@ -67,9 +67,20 @@ def save_train_state(path: str, state) -> str:
 
 
 def load_train_state(path: str, like) -> Any:
+    """Restore a TrainState.  ``like`` fixes the pytree structure only.
+
+    Restores to HOST numpy then uploads with plain jnp.asarray: the
+    like-template path needs concrete shardings on cross-backend
+    restores (a checkpoint saved on the TPU restored on CPU raises
+    "sharding ... should be specified"), and orbax's direct-to-device
+    restore stalls the first big executable on relay TPU backends (see
+    ``load_params`` host=True).
+    """
+    import jax.numpy as jnp
+
     from umgen_tpu.parallel.train import TrainState
-    tree = load_params(path, like={
-        "params": like.params, "buffers": like.buffers,
-        "opt_state": like.opt_state, "step": like.step})
+    tree = load_params(path, host=True)
+    tree = jax.tree.map(
+        lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, tree)
     return TrainState(tree["params"], tree["buffers"], tree["opt_state"],
                       tree["step"])
