@@ -39,7 +39,23 @@ def main():
     ap.add_argument("--data_root", default=None,
                     help="scene pkls (default: the training synthetic dir "
                          "next to the checkpoint)")
+    ap.add_argument("--tpe_clamp", type=int, default=-1,
+                    help="temporal-PE clamp (-1 = auto from the "
+                         "checkpoint dir's train_meta.json: trained "
+                         "window - 1; large value = effectively off)")
     args = ap.parse_args()
+
+    import json
+    if args.tpe_clamp == -1:
+        args.tpe_clamp = None
+        meta_f = os.path.join(os.path.dirname(args.ckpt.rstrip("/")),
+                              "train_meta.json")
+        if os.path.isfile(meta_f):
+            with open(meta_f) as f:
+                win = json.load(f).get("window")
+            if win:
+                args.tpe_clamp = int(win) - 1
+                print(f"tpe_clamp={args.tpe_clamp} (from {meta_f})")
 
     import jax
     import jax.numpy as jnp
@@ -57,6 +73,7 @@ def main():
     if args.window:
         kw["tar_cache_window"] = args.window
     cfg = ModelConfig(sample_method=args.sample, speculative_k=args.k,
+                      tpe_clamp=args.tpe_clamp,
                       speculative_bbox=not args.no_bbox,
                       use_pallas_attention=False, **kw,
                       ).scaled(args.scale)
@@ -69,7 +86,9 @@ def main():
     # not coexist on a 16 GB chip at the larger scale
     buffers = params["buffers"]
     del params
-    tree = ckpt.load_params(args.ckpt)
+    # host=True: orbax's restore-to-device stalls the first big
+    # executable 450-950 s on the relay backend (PERFORMANCE.md r4)
+    tree = ckpt.load_params(args.ckpt, host=True)
     print(f"loaded step {int(np.asarray(tree['step']))} from {args.ckpt}")
     restored = dict(tree["params"])
     restored["buffers"] = tree.get("buffers") or buffers
