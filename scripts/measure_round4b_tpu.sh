@@ -30,18 +30,33 @@ timeout 2400 python -m umgen_tpu.tools.train --model_scale larger \
     || { say "stage 1 FAILED (OOM or crash) — stopping"; exit 1; }
 
 say "r4b stage 2: full window-8 training (2000 steps)"
-timeout 14000 python -m umgen_tpu.tools.train --model_scale larger \
-    --steps 2000 --batch_size 1 --window 8 --lr 3e-4 \
+# a timeout here is NOT fatal: stage 3 falls back to the newest step_*
+# checkpoint (save_every 400) so the pipeline still ships a trained
+# serving artifact inside the round budget
+timeout "${R4B_TRAIN_BUDGET_S:-11000}" python -m umgen_tpu.tools.train \
+    --model_scale larger \
+    --steps "${R4B_STEPS:-2000}" --batch_size 1 --window 8 --lr 3e-4 \
     --optimizer sign_sgd --param_dtype bfloat16 --remat \
-    --synthetic_data 6 --ckpt_dir output/large_ckpt8 --save_every 500 \
+    --synthetic_data 6 --ckpt_dir output/large_ckpt8 --save_every 400 \
     --log_every 20 >> "$LOG" 2>&1 \
-    || { say "stage 2 FAILED"; exit 1; }
+    || say "stage 2 exited nonzero (timeout or crash) — continuing with newest ckpt"
 
 say "r4b stage 3: pre-quantize new final -> serving artifact"
-JAX_PLATFORMS=cpu timeout 2400 python scripts/make_serving_ckpt.py \
-    --src output/large_ckpt8/final \
+# pick the newest checkpoint if the full run timed out before "final"
+SRC=output/large_ckpt8/final
+[ -d "$SRC" ] || SRC=$(ls -d output/large_ckpt8/step_* 2>/dev/null | tail -1)
+[ -n "$SRC" ] || { say "stage 3: no checkpoint found"; exit 1; }
+say "stage 3 src=$SRC"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 2400 \
+    python scripts/make_serving_ckpt.py \
+    --src "$SRC" \
     --dst output/large_ckpt/serving >> "$LOG" 2>&1 \
     || { say "stage 3 FAILED"; exit 1; }
+# the bench conditions trained serving on the training distribution's
+# scene clips at output/large_ckpt/synthetic (bench.py data_dir fallback)
+mkdir -p output/large_ckpt
+[ -e output/large_ckpt/synthetic ] || \
+    ln -s ../large_ckpt8/synthetic output/large_ckpt/synthetic
 
 say "r4b stage 4a: spec acceptance at serving config (K=8, win-8, clamp)"
 UMGEN_BENCH_SPEC_K=8 UMGEN_BENCH_FRAMES=8 UMGEN_BENCH_BUDGET_S=1200 \
