@@ -47,16 +47,31 @@ def _w4_roundtrip(w):
 
 def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
             w8=False, tar_cache_dtype=None, oar_cache_dtype=None,
-            w4_sim=False, scenes=1, seed=0):
+            w4_sim=False, scenes=1, seed=0, scene_chunk=0):
     import jax
     import numpy as np
+
+    import json
+
+    import jax.numpy as jnp
 
     from umgen_tpu.config import DataConfig, ModelConfig
     from umgen_tpu.data.dataset import NuPlanTokenDataset
     from umgen_tpu.models.generate import Generator
     from umgen_tpu.models.umgen import UMGen
-    from umgen_tpu.parallel.train import UMGenTrainer
     from umgen_tpu.runtime import checkpoint as ckpt_io
+
+    # serve with the temporal-PE clamp the checkpoint was trained for —
+    # rollouts deeper than the trained window must not index untrained
+    # tpe rows (the r3 acceptance-collapse root cause)
+    tpe_clamp = None
+    meta_f = os.path.join(os.path.dirname(ckpt.rstrip("/")),
+                          "train_meta.json")
+    if os.path.isfile(meta_f):
+        with open(meta_f) as f:
+            win = json.load(f).get("window")
+        if win:
+            tpe_clamp = int(win) - 1
 
     # the recompute path slides a cond_frames window; the cached path's
     # ring length is config.tar_cache_window — set both to `window` so the
@@ -67,17 +82,23 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     if oar_cache_dtype:
         extra["oar_cache_dtype"] = oar_cache_dtype
     cfg = ModelConfig(sample_method=sample, tar_mode=tar_mode,
-                      tar_cache_window=window,
+                      tar_cache_window=window, tpe_clamp=tpe_clamp,
                       use_pallas_attention=False, **extra).scaled(scale)
     model = UMGen(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    trainer = UMGenTrainer(model)
-    state = trainer.init_state(params)
-    state = ckpt_io.load_train_state(ckpt, state)
-    restored = dict(state.params)
-    if "buffers" not in restored:
-        restored["buffers"] = params["buffers"]
-    params = restored
+    # template-free HOST restore (any optimizer's state layout; no 19 GB
+    # adam template at the 2.4B scale; orbax restore-to-device stalls the
+    # first big executable on the relay backend — PERFORMANCE.md r4).
+    # Free the f32 init trainables first: they would not coexist with the
+    # restored params on a 16 GB chip at the larger scale.
+    buffers = params["buffers"]
+    del params
+    tree = ckpt_io.load_params(ckpt, host=True)
+    restored = dict(tree["params"])
+    restored["buffers"] = tree.get("buffers") or buffers
+    del tree, buffers
+    params = jax.tree.map(jnp.asarray, restored)
+    del restored
     if w4_sim:
         # the w4 serving config: group-int4 OAR weights (simulated by
         # dequantized round-trip), int8 everywhere else
@@ -118,8 +139,18 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     gt = {m: np.stack([r[m] for r in raws]) for m in mods}
 
     gen = Generator(model, params, seed=seed)
-    out = gen.generate(cond_tokens, new_frames=frames, cond_frames=window,
-                       input_cond_frames=cond, progress=True)
+    # scene_chunk > 0: roll the scene batch in chunks of that size (the
+    # fp8 reference config's TAR rings are ~2.1 GB/scene at the larger
+    # scale and window 8 — 8 scenes at once would not fit 16 GB HBM;
+    # chunks share one compiled program shape)
+    chunk = scene_chunk or scenes
+    outs = []
+    for c0 in range(0, scenes, chunk):
+        part = {m: v[c0:c0 + chunk] for m, v in cond_tokens.items()}
+        outs.append(gen.generate(part, new_frames=frames,
+                                 cond_frames=window,
+                                 input_cond_frames=cond, progress=True))
+    out = {m: np.concatenate([o[m] for o in outs]) for m in outs[0]}
     return out, gt, model
 
 

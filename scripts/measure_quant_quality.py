@@ -42,6 +42,10 @@ def main():
                     help="independent sampling seeds per config "
                          "(run-to-run spread; meaningful with --sample "
                          "topk)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="roll the scene batch in chunks of this size "
+                         "(memory: the fp reference's fp8 rings are "
+                         "~2.1 GB/scene at larger/win-8; 0 = all at once)")
     args = ap.parse_args()
     window = args.window or args.cond
 
@@ -90,7 +94,8 @@ def main():
             out, gt, model = rollout(args.scale, "temporal_cache",
                                      args.ckpt, args.cond, args.frames,
                                      window, args.sample,
-                                     scenes=args.scenes, seed=si, **kw)
+                                     scenes=args.scenes, seed=si,
+                                     scene_chunk=args.chunk, **kw)
             if name == "A_fp_reference":
                 ref = out
             else:

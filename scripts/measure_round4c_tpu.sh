@@ -25,7 +25,7 @@ CKPT=output/large_ckpt8/final
 say "r4c stage 1: quality budget N=8 scenes x 3 seeds on $CKPT"
 timeout 3600 python scripts/measure_quant_quality.py \
     --ckpt "$CKPT" --scale larger --frames 12 --cond 4 --window 8 \
-    --sample topk --scenes 8 --seeds 3 >> "$LOG" 2>&1 \
+    --sample topk --scenes 8 --seeds 3 --chunk 4 >> "$LOG" 2>&1 \
     || say "stage 1 exited nonzero"
 
 say "r4c stage 2a: frontier B=12 win-8 bb=4"
