@@ -137,9 +137,11 @@ def main():
     # the r3 bench wall), falling back to the raw train state.
     ckpt_path = os.environ.get("UMGEN_BENCH_CKPT", "")
     serving_path = ""
-    if ckpt_path == "" and scale == "larger":
+    if ckpt_path == "":
         here = os.path.dirname(os.path.abspath(__file__))
-        serv = os.path.join(here, "output", "large_ckpt", "serving")
+        serv = os.environ.get(
+            "UMGEN_BENCH_SERVING",
+            os.path.join(here, "output", "large_ckpt", "serving"))
         meta_f = serv + "_meta.json"
         if os.path.isdir(serv) and os.path.isfile(meta_f):
             with open(meta_f) as f:
@@ -148,7 +150,7 @@ def main():
                     "fused": fused, "oar_kv": oar_kv}
             if all(meta.get(k) == v for k, v in want.items()):
                 serving_path = serv
-        if not serving_path:
+        if not serving_path and scale == "larger":
             cand = os.path.join(here, "output", "large_ckpt", "final")
             if os.path.isdir(cand):
                 ckpt_path = cand
@@ -414,7 +416,8 @@ def main():
     spec_str = (f", spec_k={cfg.speculative_k}"
                 f"({spec_accepted / max(spec_chunks, 1):.2f}/chunk)"
                 if cfg.speculative_k else "")
-    ckpt_str = f", trained-ckpt@{ckpt_step}" if ckpt_step else ""
+    ckpt_str = (f", trained-ckpt@{ckpt_step}"
+                if ckpt_step is not None else "")
     bb_str = f", bb={cfg.oar_batch_block}" if cfg.oar_batch_block else ""
 
     result = {

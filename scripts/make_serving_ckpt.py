@@ -51,13 +51,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=SRC)
     ap.add_argument("--dst", default=DST)
+    ap.add_argument("--scale", default=META["scale"])
+    ap.add_argument("--fused", type=int, default=1,
+                    help="pack for the fused decode kernel (requires "
+                         "n_embd >= 128; 0 = plain int8 tree, what the "
+                         "XLA fallback path serves)")
+    ap.add_argument("--w4", type=int, default=1,
+                    help="group-128 int4 OAR weights (fused only)")
     args = ap.parse_args()
 
     from umgen_tpu.runtime.checkpoint import load_params, save_params
-    from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, pack_fused_w4,
+    from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, pack_fused,
+                                            pack_fused_w4,
                                             quantize_params_int8)
 
-    meta = dict(META)
+    meta = dict(META, scale=args.scale, fused=bool(args.fused),
+                w4=bool(args.fused and args.w4))
     train_meta = os.path.join(os.path.dirname(args.src), "train_meta.json")
     if os.path.isfile(train_meta):
         with open(train_meta) as f:
@@ -78,9 +87,13 @@ def main():
     print(f"  int8 quantization in {time.time() - t1:.0f}s", flush=True)
 
     t1 = time.time()
-    params = pack_fused_w4(params, raw_oar)
+    if meta["w4"]:
+        params = pack_fused_w4(params, raw_oar)
+        print(f"  w4 packing in {time.time() - t1:.0f}s", flush=True)
+    elif meta["fused"]:
+        params = pack_fused(params, META["oar_kv"])
+        print(f"  fused packing in {time.time() - t1:.0f}s", flush=True)
     del raw_oar, tree
-    print(f"  w4 packing in {time.time() - t1:.0f}s", flush=True)
 
     params["buffers"] = buffers
     t1 = time.time()

@@ -81,9 +81,14 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
         extra["tar_cache_dtype"] = tar_cache_dtype
     if oar_cache_dtype:
         extra["oar_cache_dtype"] = oar_cache_dtype
+    # Pallas flash attention on TPU (XLA materializes the S x S logits —
+    # OOM at the larger scale); the CPU backend interprets Pallas slowly,
+    # so keep the XLA path there (tiny-scale usage)
     cfg = ModelConfig(sample_method=sample, tar_mode=tar_mode,
                       tar_cache_window=window, tpe_clamp=tpe_clamp,
-                      use_pallas_attention=False, **extra).scaled(scale)
+                      chunked_prefill=(tar_mode == "temporal_cache"),
+                      use_pallas_attention=(jax.default_backend() == "tpu"),
+                      **extra).scaled(scale)
     model = UMGen(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     # template-free HOST restore (any optimizer's state layout; no 19 GB
