@@ -252,15 +252,17 @@ def main():
         from umgen_tpu.runtime.checkpoint import load_params
         buffers = params["buffers"]
         del params
-        tree = load_params(ckpt_path)
+        # host=True: orbax's restore-to-device stalls the first big
+        # executable 450-950 s on the relay backend (PERFORMANCE.md r4)
+        tree = load_params(ckpt_path, host=True)
         ckpt_step = int(np.asarray(tree["step"]))
         restored = dict(tree["params"])
         restored["buffers"] = tree.get("buffers") or buffers
         del buffers
-        # orbax restores straight to DEVICE arrays — drop every extra
-        # reference so the pre-quantization weights actually free when
-        # `params` is rebound below (a lingering `tree` kept 4.8 GB of
-        # bf16 stacks alive through serving and OOMed r3e stage 4)
+        # drop every extra reference so the pre-quantization weights
+        # actually free when `params` is rebound below (a lingering
+        # `tree` kept 4.8 GB of bf16 stacks alive through serving and
+        # OOMed r3e stage 4)
         del tree
         params = jax.tree.map(jnp.asarray, restored)
         del restored
