@@ -43,4 +43,13 @@ UMGEN_BENCH_BATCH=12 UMGEN_BENCH_WINDOW=7 UMGEN_BENCH_BATCH_BLOCK=4 \
     UMGEN_BENCH_FRAMES=8 UMGEN_BENCH_BUDGET_S=600 \
     timeout 700 python bench.py >> "$LOG" 2>&1 || say "2c exited nonzero"
 
+say "r4c stage 2d: apples-to-apples full 20-frame window on the trained ckpt (B=4, whole-batch W4)"
+UMGEN_BENCH_BATCH=4 UMGEN_BENCH_WINDOW=20 \
+    UMGEN_BENCH_FRAMES=8 UMGEN_BENCH_BUDGET_S=700 \
+    timeout 800 python bench.py >> "$LOG" 2>&1 || say "2d exited nonzero"
+
+say "r4c stage 2e: full 30-frame confirmation at the bench default"
+UMGEN_BENCH_FRAMES=30 UMGEN_BENCH_BUDGET_S=1200 \
+    timeout 1300 python bench.py >> "$LOG" 2>&1 || say "2e exited nonzero"
+
 say "r4c done"
