@@ -74,7 +74,11 @@ def main():
 
     t0 = time.time()
     print(f"restoring {args.src} ...", flush=True)
-    tree = load_params(args.src)
+    # host=True: a TPU-saved train state restored in this CPU process
+    # needs no device shardings (and quantization is numpy anyway) —
+    # without it orbax raises "sharding ... should be specified" on
+    # cross-backend restores
+    tree = load_params(args.src, host=True)
     step = int(__import__("numpy").asarray(tree["step"]))
     print(f"  restored step {step} in {time.time() - t0:.0f}s", flush=True)
 
