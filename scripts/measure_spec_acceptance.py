@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--data_root", default=None,
                     help="scene pkls (default: the training synthetic dir "
                          "next to the checkpoint)")
+    ap.add_argument("--refresh", type=int, default=0,
+                    help="tar_cache_refresh N: re-anchor the rings to "
+                         "window-relative temporal slots every N frames "
+                         "(the in-regime lever for deep rollouts; N=1 = "
+                         "exact recompute semantics)")
     ap.add_argument("--tpe_clamp", type=int, default=-1,
                     help="temporal-PE clamp (-1 = auto from the "
                          "checkpoint dir's train_meta.json: trained "
@@ -72,6 +77,8 @@ def main():
         kw["tar_cache_dtype"] = args.kv_dtype
     if args.window:
         kw["tar_cache_window"] = args.window
+    if args.refresh:
+        kw["tar_cache_refresh"] = args.refresh
     cfg = ModelConfig(sample_method=args.sample, speculative_k=args.k,
                       tpe_clamp=args.tpe_clamp,
                       speculative_bbox=not args.no_bbox,
@@ -126,6 +133,8 @@ def main():
     print(f"speculative wall: {dt_spec:.1f}s for {args.frames} frames "
           f"({args.frames / dt_spec:.3f} f/s)")
 
+    if os.environ.get("UMGEN_SPEC_NO_SEQ") == "1":
+        return 0        # acceptance-only probe (skip the wall comparison)
     # sequential comparison run (same checkpoint/seed, spec off)
     cfg0 = ModelConfig(sample_method=args.sample, speculative_k=0,
                        use_pallas_attention=False, **kw).scaled(args.scale)
