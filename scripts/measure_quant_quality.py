@@ -46,6 +46,10 @@ def main():
                     help="roll the scene batch in chunks of this size "
                          "(memory: the fp reference's fp8 rings are "
                          "~2.1 GB/scene at larger/win-8; 0 = all at once)")
+    ap.add_argument("--configs", default="",
+                    help="comma list of config names to run (default all; "
+                         "the reference config A is always kept — "
+                         "agreement needs it)")
     args = ap.parse_args()
     window = args.window or args.cond
 
@@ -66,6 +70,9 @@ def main():
         "D_w4_stack": dict(w8=True, w4_sim=True, tar_cache_dtype="int4",
                            oar_cache_dtype="int8"),
     }
+    if args.configs:
+        keep = set(args.configs.split(",")) | {"A_fp_reference"}
+        configs = {k: v for k, v in configs.items() if k in keep}
     import numpy as np
     pipeline = ScenePipeline()
 
