@@ -71,8 +71,21 @@ def main():
                            oar_cache_dtype="int8"),
     }
     if args.configs:
-        keep = set(args.configs.split(",")) | {"A_fp_reference"}
+        names = set(args.configs.split(","))
+        unknown = names - set(configs)
+        if unknown:
+            # a typo here must not silently reduce the run to the fp
+            # reference alone (ADVICE r4: the quantized leg this flag was
+            # added to rescue would silently never execute)
+            sys.exit(f"unknown configs: {sorted(unknown)}; "
+                     f"known: {sorted(configs)}")
+        keep = names | {"A_fp_reference"}
         configs = {k: v for k, v in configs.items() if k in keep}
+    if args.chunk and args.scenes % args.chunk:
+        # a partial final chunk has a different batch shape and forces a
+        # second large-scale compile (minutes on the relay backend)
+        sys.exit(f"--scenes {args.scenes} must be divisible by "
+                 f"--chunk {args.chunk}")
     import numpy as np
     pipeline = ScenePipeline()
 

@@ -23,9 +23,12 @@ CKPT=output/large_ckpt8/final
 [ -d "$CKPT" ] || CKPT=$(ls -d output/large_ckpt8/step_* 2>/dev/null | tail -1)
 
 say "r4c stage 1: quality budget N=8 scenes x 3 seeds on $CKPT"
+# chunk 2, not 4: chunk=4 was the one-shot OOM that killed the r4
+# quantized leg (the fp config's rings at 2.1 GB/scene don't leave room
+# for 4 scenes' window activations) — ADVICE r4
 timeout 3600 python scripts/measure_quant_quality.py \
     --ckpt "$CKPT" --scale larger --frames 12 --cond 4 --window 8 \
-    --sample topk --scenes 8 --seeds 3 --chunk 4 >> "$LOG" 2>&1 \
+    --sample topk --scenes 8 --seeds 3 --chunk 2 >> "$LOG" 2>&1 \
     || say "stage 1 exited nonzero"
 
 say "r4c stage 2a: frontier B=12 win-8 bb=4"
