@@ -208,6 +208,7 @@ def run_single():
     # untrained tpe rows (the r3 acceptance-collapse root cause).
     # UMGEN_BENCH_TPE_CLAMP overrides; "" forces the config default.
     tpe_clamp = None
+    temporal_pe = "absolute"
     meta_src = (serving_path + "_meta.json") if serving_path else (
         os.path.join(os.path.dirname(ckpt_path), "train_meta.json")
         if ckpt_path else "")
@@ -217,6 +218,7 @@ def run_single():
         win = _meta.get("trained_window") or _meta.get("window")
         if win:
             tpe_clamp = int(win) - 1
+        temporal_pe = _meta.get("temporal_pe") or "absolute"
     env_clamp = os.environ.get("UMGEN_BENCH_TPE_CLAMP")
     if env_clamp is not None:
         tpe_clamp = int(env_clamp) if env_clamp else None
@@ -228,6 +230,8 @@ def run_single():
     spec_default = "0"
     cfg = ModelConfig(tar_mode=tar_mode,
                       tpe_clamp=tpe_clamp,
+                      temporal_pe_mode=os.environ.get(
+                          "UMGEN_BENCH_TEMPORAL_PE", temporal_pe),
                       tar_cache_dtype=kv_dtype,
                       chunked_prefill=os.environ.get(
                           "UMGEN_BENCH_CHUNKED_PREFILL", "1") == "1",

@@ -70,7 +70,9 @@ def main():
     train_meta = os.path.join(os.path.dirname(args.src), "train_meta.json")
     if os.path.isfile(train_meta):
         with open(train_meta) as f:
-            meta["trained_window"] = json.load(f).get("window")
+            tm = json.load(f)
+        meta["trained_window"] = tm.get("window")
+        meta["temporal_pe"] = tm.get("temporal_pe", "absolute")
 
     t0 = time.time()
     print(f"restoring {args.src} ...", flush=True)

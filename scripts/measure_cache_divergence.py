@@ -65,13 +65,16 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     # rollouts deeper than the trained window must not index untrained
     # tpe rows (the r3 acceptance-collapse root cause)
     tpe_clamp = None
+    temporal_pe = "absolute"
     meta_f = os.path.join(os.path.dirname(ckpt.rstrip("/")),
                           "train_meta.json")
     if os.path.isfile(meta_f):
         with open(meta_f) as f:
-            win = json.load(f).get("window")
+            meta = json.load(f)
+        win = meta.get("window")
         if win:
             tpe_clamp = int(win) - 1
+        temporal_pe = meta.get("temporal_pe", "absolute")
 
     # the recompute path slides a cond_frames window; the cached path's
     # ring length is config.tar_cache_window — set both to `window` so the
@@ -86,6 +89,7 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     # so keep the XLA path there (tiny-scale usage)
     cfg = ModelConfig(sample_method=sample, tar_mode=tar_mode,
                       tar_cache_window=window, tpe_clamp=tpe_clamp,
+                      temporal_pe_mode=temporal_pe,
                       chunked_prefill=(tar_mode == "temporal_cache"),
                       use_pallas_attention=(jax.default_backend() == "tpu"),
                       **extra).scaled(scale)

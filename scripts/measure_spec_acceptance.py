@@ -73,6 +73,14 @@ def main():
     from umgen_tpu.runtime import checkpoint as ckpt
 
     kw = {}
+    # serve in the checkpoint's temporal-PE mode (relative-mode
+    # checkpoints carry the distance-bias table instead of absolute tpe)
+    meta_f = os.path.join(os.path.dirname(args.ckpt.rstrip("/")),
+                          "train_meta.json")
+    if os.path.isfile(meta_f):
+        with open(meta_f) as f:
+            kw["temporal_pe_mode"] = json.load(f).get(
+                "temporal_pe", "absolute")
     if args.kv_dtype:
         kw["tar_cache_dtype"] = args.kv_dtype
     if args.window:

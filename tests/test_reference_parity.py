@@ -233,8 +233,12 @@ def test_state_dict_fully_consumed(ref_ctx, our_pair):
                 if not k.startswith(("fouier_pe", "bbox3d_spatial_posi",
                                      "grid_center_posi_embedding",
                                      "map_codebook", "img_codebook")))
+    # tpe_rel is this framework's relative-temporal-PE table — no torch
+    # counterpart exists (the importer emits it zeroed), so it is not
+    # part of the reference-parity count
     n_ours = sum(np.asarray(v).size
-                 for k, sub in params.items() if k != "buffers"
+                 for k, sub in params.items()
+                 if k not in ("buffers", "tpe_rel")
                  for v in jax.tree.leaves(sub))
     assert n_ref == n_ours
 

@@ -209,6 +209,25 @@ class ModelConfig:
     # trained_window - 1 from checkpoint metadata (see models/umgen.py
     # add_pos_emb for the reference-semantics argument).
     tpe_clamp: Optional[int] = None
+    # temporal-PE mode (VERDICT r4 task 4 — window-relative re-anchoring
+    # as a first-class mechanism, not a refresh crutch):
+    #  "absolute"  — reference semantics: a learned [max_frame_len, D]
+    #    table added to the token embeddings by absolute frame slot
+    #    (ref:UMGen.py:483-515).  Cached K/V bake the slot embedding in,
+    #    so deep cached rollouts either index untrained rows or (with
+    #    tpe_clamp) saturate every deep frame to the SAME slot — a
+    #    distribution no training run produces (the measured
+    #    acceptance/agreement decay at depth, PERFORMANCE.md).
+    #  "relative"  — temporal position enters ONLY at the temporal-
+    #    attention logits, as a learned per-head bias indexed by the
+    #    query-key frame DISTANCE (tpe_rel [n_head, max_frame_len]).
+    #    Cached K/V are PE-free and ring distances are bounded by the
+    #    window, so a depth-1000 cached frame is distributionally
+    #    IDENTICAL to a window-anchored one — re-anchoring by
+    #    construction.  Owned-checkpoint only (the reference's torch
+    #    weights have no tpe_rel); default stays "absolute" for
+    #    reference-weight parity.
+    temporal_pe_mode: str = "absolute"
     # experimental single-launch Pallas decode step (ops/decode_kernel);
     # currently slower than the XLA path on v5e — off by default
     fused_oar_kernel: bool = False

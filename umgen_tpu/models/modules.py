@@ -217,14 +217,40 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
+def sdpa_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              causal: bool, bias: jnp.ndarray) -> jnp.ndarray:
+    """`sdpa` with an additive per-head logit bias [H, Sq, Sk] (the
+    relative temporal-PE path).  XLA-only: temporal sequences are <= the
+    frame window (~20), so the [.., Sq, Sk] logits are tiny — the Pallas
+    flash kernel's S=2207 spatial win does not apply here."""
+    B, Sq, H, Dh = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / math.sqrt(Dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias.astype(jnp.float32)[None]
+    if causal:
+        qi = jnp.arange(Sq)[:, None] + (Sk - Sq)
+        ki = jnp.arange(Sk)[None, :]
+        logits = jnp.where(ki <= qi, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
 def attention(p: Params, x: jnp.ndarray, n_head: int, causal: bool,
-              attn_impl=sdpa) -> jnp.ndarray:
-    """Fused-QKV self-attention over [B, S, D] (ref:module.py:179-230)."""
+              attn_impl=sdpa, t_bias: Optional[jnp.ndarray] = None
+              ) -> jnp.ndarray:
+    """Fused-QKV self-attention over [B, S, D] (ref:module.py:179-230).
+    t_bias [H, S, S]: additive logit bias (relative temporal PE)."""
     B, S, D = x.shape
     qkv = linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    y = attn_impl(_split_heads(q, n_head), _split_heads(k, n_head),
-                  _split_heads(v, n_head), causal)
+    if t_bias is not None:
+        y = sdpa_bias(_split_heads(q, n_head), _split_heads(k, n_head),
+                      _split_heads(v, n_head), causal, t_bias)
+    else:
+        y = attn_impl(_split_heads(q, n_head), _split_heads(k, n_head),
+                      _split_heads(v, n_head), causal)
     return linear(p["proj"], y.reshape(B, S, D))
 
 
@@ -283,7 +309,8 @@ def cross_attention(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray,
 # blocks
 # ---------------------------------------------------------------------------
 def block_tar(p: Params, x: jnp.ndarray, n_head: int,
-              attn_impl=sdpa) -> jnp.ndarray:
+              attn_impl=sdpa, t_bias: Optional[jnp.ndarray] = None
+              ) -> jnp.ndarray:
     """Factorized spatio-temporal block over [B, T, S, D]
     (ref:module.py:332-359): spatial (non-causal over S) → temporal (causal
     over T) → spatial, each with its own pre-LN and MLP.
@@ -291,6 +318,9 @@ def block_tar(p: Params, x: jnp.ndarray, n_head: int,
     This is the reference's long-context trick — it never attends over the
     full T·S sequence.  On TPU both attentions are plain batched attention
     with folded leading dims: (B·T, S) and (B·S, T).
+
+    t_bias [H, T, T]: relative temporal-PE logit bias, applied to the
+    TEMPORAL attention only (config.temporal_pe_mode="relative").
     """
     B, T, S, D = x.shape
 
@@ -301,7 +331,7 @@ def block_tar(p: Params, x: jnp.ndarray, n_head: int,
 
     xt = xs.reshape(B, T, S, D).transpose(0, 2, 1, 3).reshape(B * S, T, D)
     xt = xt + attention(p["ta"], layer_norm(p["ln3"], xt), n_head,
-                        causal=True, attn_impl=attn_impl)
+                        causal=True, attn_impl=attn_impl, t_bias=t_bias)
     xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
 
     xs = xt.reshape(B, S, T, D).transpose(0, 2, 1, 3).reshape(B * T, S, D)
@@ -333,7 +363,8 @@ def block_oar_decode(p: Params, x: jnp.ndarray, n_head: int,
 
 def temporal_attn_decode(p: Params, x: jnp.ndarray, n_head: int,
                          kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
-                         slot: jnp.ndarray, n_valid: jnp.ndarray
+                         slot: jnp.ndarray, n_valid: jnp.ndarray,
+                         t_bias: Optional[jnp.ndarray] = None
                          ) -> Tuple[jnp.ndarray,
                                     Tuple[jnp.ndarray, jnp.ndarray]]:
     """One-frame temporal attention against a rolling frame ring.
@@ -342,7 +373,10 @@ def temporal_attn_decode(p: Params, x: jnp.ndarray, n_head: int,
     [N, T_max, H, Dh] in any storage dtype (bf16/fp8).  The new frame's K/V
     is written at ring position `slot`; the query attends every slot
     < n_valid (ring order is irrelevant to softmax; causality holds because
-    only past frames are ever cached)."""
+    only past frames are ever cached).
+    t_bias [H, T_max]: per-RING-SLOT relative-PE bias (caller maps slot
+    ages to table entries; the current frame's own slot must carry the
+    distance-0 entry)."""
     N, _, D = x.shape
     qkv = linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -358,6 +392,8 @@ def temporal_attn_decode(p: Params, x: jnp.ndarray, n_head: int,
     scale = 1.0 / math.sqrt(Dh)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
+    if t_bias is not None:
+        logits = logits + t_bias.astype(jnp.float32)[None, :, None, :]
     valid = jnp.arange(T_max)[None, None, None, :] < n_valid
     logits = jnp.where(valid, logits, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
@@ -366,7 +402,8 @@ def temporal_attn_decode(p: Params, x: jnp.ndarray, n_head: int,
 
 
 def block_tar_decode(p: Params, x: jnp.ndarray, n_head: int,
-                     kv_cache, slot, n_valid, attn_impl=sdpa):
+                     kv_cache, slot, n_valid, attn_impl=sdpa,
+                     t_bias: Optional[jnp.ndarray] = None):
     """BlockTAR for ONE new frame with a temporal KV ring.
 
     x: [B, S, D] (the new frame); kv_cache: (k, v) each [B*S, T_max, H, Dh].
@@ -384,7 +421,8 @@ def block_tar_decode(p: Params, x: jnp.ndarray, n_head: int,
 
     xt = xs.reshape(B * S, 1, D)
     a, kv_cache = temporal_attn_decode(p["ta"], layer_norm(p["ln3"], xt),
-                                       n_head, kv_cache, slot, n_valid)
+                                       n_head, kv_cache, slot, n_valid,
+                                       t_bias=t_bias)
     xt = xt + a
     xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
 
@@ -415,7 +453,9 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
                               ring_k: jnp.ndarray, ring_v: jnp.ndarray,
                               slot, n_valid, attn_impl=sdpa,
                               ring_scale_k: Optional[jnp.ndarray] = None,
-                              ring_scale_v: Optional[jnp.ndarray] = None):
+                              ring_scale_v: Optional[jnp.ndarray] = None,
+                              t_bias_ring: Optional[jnp.ndarray] = None,
+                              t_bias_self: Optional[jnp.ndarray] = None):
     """BlockTAR single-frame step with READ-ONLY temporal rings.
 
     Returns (y [B, S, D], k_new, v_new [B*S, H, Dh]).  The caller scatters
@@ -431,6 +471,10 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     contraction is over Dh only, so the per-(scene, frame, head) scales are
     folded into the attention *logits* (k) and *weights* (v) — no
     dequantized ring is ever materialized.
+
+    t_bias_ring [H, T_max] / t_bias_self [H]: relative temporal-PE logit
+    bias per ring slot (slot ages mapped by the caller) and for the new
+    frame's self term (distance 0).
     """
     B, S, D = x.shape
     xs = x
@@ -470,11 +514,15 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     else:
         lp = jnp.einsum("nqhd,nkhd->nhqk", q, ring_k.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
+    if t_bias_ring is not None:
+        lp = lp + t_bias_ring.astype(jnp.float32)[None, :, None, :]
     tpos = jnp.arange(T_max)[None, None, None, :]
     valid = (tpos < n_valid) & (tpos != slot)
     lp = jnp.where(valid, lp, -jnp.inf)
     ls = (jnp.sum(q[:, 0] * k_new, axis=-1)
           .astype(jnp.float32))[:, :, None, None] * scale  # [N,H,1,1]
+    if t_bias_self is not None:
+        ls = ls + t_bias_self.astype(jnp.float32)[None, :, None, None]
     m = jnp.maximum(jnp.max(lp, -1, keepdims=True), ls)
     ep = jnp.exp(lp - m)
     es = jnp.exp(ls - m)
@@ -505,7 +553,8 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
 
 
 def block_tar_collect_kv(p: Params, x: jnp.ndarray, n_head: int,
-                         attn_impl=sdpa):
+                         attn_impl=sdpa,
+                         t_bias: Optional[jnp.ndarray] = None):
     """Full-window BlockTAR that also returns the temporal-attention K/V for
     cache prefill.  Numerically identical to `block_tar`."""
     B, T, S, D = x.shape
@@ -521,7 +570,10 @@ def block_tar_collect_kv(p: Params, x: jnp.ndarray, n_head: int,
     q, k, v = jnp.split(qkv, 3, axis=-1)
     kh = _split_heads(k, n_head)
     vh = _split_heads(v, n_head)
-    y = attn_impl(_split_heads(q, n_head), kh, vh, True)
+    if t_bias is not None:
+        y = sdpa_bias(_split_heads(q, n_head), kh, vh, True, t_bias)
+    else:
+        y = attn_impl(_split_heads(q, n_head), kh, vh, True)
     xt = xt + linear(p["ta"]["proj"], y.reshape(B * S, T, D))
     xt = xt + mlp(p["mlp2"], layer_norm(p["ln4"], xt))
 

@@ -139,6 +139,14 @@ class UMGen:
             "axe": emb(cfg.aux_vocab_size),
             "be": emb(cfg.bbox3d_vocab_size),
             "tpe": emb(cfg.max_frame_len),
+            # relative temporal-PE: per-head logit bias by query-key frame
+            # distance (temporal_pe_mode="relative"; zeros init — the
+            # bias starts neutral and training shapes the temporal
+            # kernel).  Always present so checkpoints can switch modes;
+            # absolute mode never reads it (and the importer never
+            # writes it — the torch reference has no such table).
+            "tpe_rel": jnp.zeros((cfg.n_head, cfg.max_frame_len),
+                                 jnp.float32),
             "spe": emb(self.layout.seq_len),
             "tske": emb(7),
             # codebook-dim → d projections (ref:UMGen.py:215,235)
@@ -279,12 +287,46 @@ class UMGen:
         """
         B, T, S, D = x.shape
         spe = params["spe"][:S][None, None]
+        if self.config.temporal_pe_mode == "relative":
+            # relative mode: temporal position enters ONLY at the
+            # temporal-attention logits (tpe_rel bias) — embeddings and
+            # cached K/V stay PE-free, so deep cached frames are
+            # distributionally identical to window-anchored ones
+            return x + spe
         clamp = self.config.tpe_clamp
         if clamp is None:
             clamp = self.config.max_frame_len - 1
         tpe_idx = jnp.minimum(jnp.arange(T) + t_offset, clamp)
         tpe = params["tpe"][tpe_idx][None, :, None, :]
         return x + spe + tpe
+
+    # ------------------------------------------------------------------
+    # relative temporal-PE bias builders (temporal_pe_mode="relative")
+    # ------------------------------------------------------------------
+    def _rel_clamp(self) -> int:
+        c = self.config.tpe_clamp
+        return self.config.max_frame_len - 1 if c is None else c
+
+    def _t_bias_window(self, params, T: int):
+        """[H, T, T] temporal-logit bias for full-window attention
+        (bias[h, t, s] = tpe_rel[h, t - s], distance clamped to the
+        trained range), or None in absolute mode."""
+        if self.config.temporal_pe_mode != "relative":
+            return None
+        rel = jnp.clip(jnp.arange(T)[:, None] - jnp.arange(T)[None, :],
+                       0, self._rel_clamp())
+        return params["tpe_rel"][:, rel]
+
+    def _t_bias_ring(self, params, slot, T_max: int):
+        """([H, T_max] per-ring-slot bias, [H] self bias) for the cached
+        one-frame path.  Slot j holds the frame `(slot - j) % T_max`
+        frames ago; the query's own frame is the separate self term at
+        distance 0.  Returns (None, None) in absolute mode."""
+        if self.config.temporal_pe_mode != "relative":
+            return None, None
+        ages = jnp.mod(slot - jnp.arange(T_max), T_max)
+        ages = jnp.minimum(ages, self._rel_clamp())
+        return params["tpe_rel"][:, ages], params["tpe_rel"][:, 0]
 
     # ------------------------------------------------------------------
     # pose decode, in-graph (ref:UMGen.py:1008-1024)
@@ -333,8 +375,9 @@ class UMGen:
 
     def _run_tar_stack(self, params, stack_name, ln_name, emb):
         cfg = self.config
+        t_bias = self._t_bias_window(params, emb.shape[1])
         block = functools.partial(nn.block_tar, n_head=cfg.n_head,
-                                  attn_impl=self.attn)
+                                  attn_impl=self.attn, t_bias=t_bias)
         out = nn.apply_stack(params[stack_name], emb,
                              lambda p, h: block(p, h), remat=cfg.remat)
         return nn.layer_norm(params[ln_name], out)
@@ -574,6 +617,8 @@ class UMGen:
         dynamic_update_slice at the frame's ring slot."""
         cfg = self.config
         B = x.shape[0]
+        tb_ring, tb_self = self._t_bias_ring(params, slot,
+                                             kv[0].shape[2])
 
         if self._ring_q4:
             kv_k, kv_v, sk, sv = kv
@@ -583,7 +628,8 @@ class UMGen:
                 h, k_new, v_new = nn.block_tar_decode_deferred(
                     p, h, cfg.n_head, k_l, v_l, slot, n_valid,
                     attn_impl=self.attn, ring_scale_k=sk_l,
-                    ring_scale_v=sv_l)
+                    ring_scale_v=sv_l, t_bias_ring=tb_ring,
+                    t_bias_self=tb_self)
                 # quantize per layer inside the scan (bit-identical:
                 # scales are per-(layer, scene, head) either way) so the
                 # collect ys are int4-packed, not bf16 — the bf16
@@ -609,7 +655,8 @@ class UMGen:
             p, k_l, v_l = layer
             h, k_new, v_new = nn.block_tar_decode_deferred(
                 p, h, cfg.n_head, k_l, v_l, slot, n_valid,
-                attn_impl=self.attn)
+                attn_impl=self.attn, t_bias_ring=tb_ring,
+                t_bias_self=tb_self)
             # cast to the ring dtype in-scan (halves the collect temps
             # for fp8/int8 rings; no-op for bf16)
             return h, (k_new.astype(kv_k.dtype), v_new.astype(kv_v.dtype))
@@ -635,11 +682,13 @@ class UMGen:
         T = emb.shape[1]
         keep = min(T, T_max)
         slots = np.arange(T - keep, T) % T_max     # static permutation
+        t_bias = self._t_bias_window(params, T)
 
         if self._ring_q4:
             def body_q4(h, p):
                 h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
-                                                    attn_impl=self.attn)
+                                                    attn_impl=self.attn,
+                                                    t_bias=t_bias)
 
                 def ring(a):          # a: [N, T, H, Dh]
                     N, _, H, Dh = a.shape
@@ -666,7 +715,8 @@ class UMGen:
 
         def body(h, p):
             h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
-                                                attn_impl=self.attn)
+                                                attn_impl=self.attn,
+                                                t_bias=t_bias)
 
             def ring(a):
                 r = jnp.zeros(a.shape[:1] + (T_max,) + a.shape[2:],

@@ -60,11 +60,21 @@ def frame_stream(layout: SequenceLayout,
     return jnp.concatenate(cols, axis=1)
 
 
-def _ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def _ce(logits: jnp.ndarray, targets: jnp.ndarray,
+        label_smooth: float = 0.0) -> jnp.ndarray:
+    """Cross entropy; label_smooth > 0 mixes eps of uniform mass into the
+    target distribution — the sharpness cap used to CALIBRATE the OAR
+    verifier against the TAR draft (PERFORMANCE.md "speculative
+    acceptance": the lossless rejection scheme punishes a verifier
+    sharper than its draft; on few-scene synthetic data the OAR head
+    overfits to loss ~0.55 while the TAR prior sits at ~1.9)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tl = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
                              axis=-1)[..., 0]
+    if label_smooth > 0.0:
+        return -((1.0 - label_smooth) * tl.mean()
+                 + label_smooth * logp.mean())
     return -tl.mean()
 
 
@@ -75,10 +85,17 @@ class UMGenTrainer:
                  warmup_steps: int = 1000,
                  total_steps: int = 100_000,
                  grad_clip: float = 1.0,
-                 optimizer: str = "adamw"):
+                 optimizer: str = "adamw",
+                 oar_label_smooth: float = 0.0,
+                 oar_loss_weight: float = 1.0):
         self.model = model
         self.rollout = Rollout(model)
         self.layout = model.layout
+        # draft/verifier calibration knobs (see _ce): smoothing caps the
+        # OAR verifier's sharpness, the weight slows its convergence
+        # relative to the TAR draft
+        self.oar_label_smooth = oar_label_smooth
+        self.oar_loss_weight = oar_loss_weight
         warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps,
@@ -188,10 +205,11 @@ class UMGenTrainer:
             # positions are seg.content_start..seg.content_end
             h_seg = h[:, seg.content_start - 1:seg.content_end]
             logits = nn.linear(params[head_ar[seg.mod]], h_seg)
-            oar_loss = oar_loss + _ce(logits, target_frame[seg.mod])
+            oar_loss = oar_loss + _ce(logits, target_frame[seg.mod],
+                                      self.oar_label_smooth)
         oar_loss = oar_loss / len(lo.segments)
 
-        loss = ego_loss + tar_loss + oar_loss
+        loss = ego_loss + tar_loss + self.oar_loss_weight * oar_loss
         return loss, {"loss": loss, "ego_loss": ego_loss,
                       "tar_loss": tar_loss, "oar_loss": oar_loss}
 

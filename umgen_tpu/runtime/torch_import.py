@@ -125,6 +125,11 @@ def import_umgen(state_dict: Dict[str, Any], config) -> Params:
         "axe": _t(sd[f"{tr}.axe.weight"]),
         "be": _t(sd[f"{tr}.be.weight"]),
         "tpe": _t(sd[f"{tr}.tpe.weight"]),
+        # the torch reference has no relative temporal-PE table; emit the
+        # neutral (all-zero) one so imported trees are structurally
+        # identical to native init (absolute mode never reads it)
+        "tpe_rel": np.zeros((config.n_head, config.max_frame_len),
+                            np.float32),
         "spe": _t(sd[f"{tr}.spe.weight"]),
         "tske": _t(sd[f"{tr}.tske.weight"]),
         "map_mlp_pre": _mlp(sd, "map_mlp_pre"),

@@ -64,6 +64,17 @@ def main(argv=None) -> int:
                    help="override the master param dtype (bfloat16 "
                         "halves param+grad memory for single-chip "
                         "large-scale training)")
+    p.add_argument("--oar_label_smooth", type=float, default=0.0,
+                   help="label smoothing on the OAR loss — the verifier-"
+                        "sharpness cap for draft/verifier calibration "
+                        "(speculative acceptance; see parallel/train.py)")
+    p.add_argument("--oar_loss_weight", type=float, default=1.0)
+    p.add_argument("--temporal_pe", default="absolute",
+                   choices=("absolute", "relative"),
+                   help="relative = window-relative temporal PE (learned "
+                        "per-head distance bias at the temporal-attention "
+                        "logits; makes deep cached rollouts "
+                        "distributionally exact — models/umgen.py)")
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -90,7 +101,8 @@ def main(argv=None) -> int:
         print("no training scenes; use --synthetic_data N")
         return 1
 
-    cfg_kw = dict(remat=args.remat, use_pallas_attention=False)
+    cfg_kw = dict(remat=args.remat, use_pallas_attention=False,
+                  temporal_pe_mode=args.temporal_pe)
     if args.param_dtype:
         cfg_kw["param_dtype"] = args.param_dtype
     cfg = ModelConfig(**cfg_kw).scaled(args.model_scale)
@@ -100,7 +112,9 @@ def main(argv=None) -> int:
     trainer = UMGenTrainer(model, learning_rate=args.lr,
                            warmup_steps=warmup,
                            total_steps=args.steps,
-                           optimizer=args.optimizer)
+                           optimizer=args.optimizer,
+                           oar_label_smooth=args.oar_label_smooth,
+                           oar_loss_weight=args.oar_loss_weight)
     params = model.init_params(jax.random.PRNGKey(args.seed))
     state = trainer.init_state(params)
     if args.resume:
@@ -123,7 +137,10 @@ def main(argv=None) -> int:
     with open(os.path.join(args.ckpt_dir, "train_meta.json"), "w") as f:
         json.dump({"window": args.window, "model_scale": args.model_scale,
                    "optimizer": args.optimizer, "steps": args.steps,
-                   "batch_size": args.batch_size}, f)
+                   "batch_size": args.batch_size,
+                   "temporal_pe": args.temporal_pe,
+                   "oar_label_smooth": args.oar_label_smooth,
+                   "oar_loss_weight": args.oar_loss_weight}, f)
 
     it = batch_iterator(dataset, args.batch_size, args.window, args.seed)
     rng = jax.random.PRNGKey(args.seed + 1)
