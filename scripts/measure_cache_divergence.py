@@ -153,6 +153,12 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     # scale and window 8 — 8 scenes at once would not fit 16 GB HBM;
     # chunks share one compiled program shape)
     chunk = scene_chunk or scenes
+    if scenes % chunk:
+        # a partial final chunk would have a different batch shape and
+        # force a second large-scale compile (minutes on the relay
+        # backend) — reject rather than silently pay it (ADVICE r4)
+        raise ValueError(f"scenes={scenes} not divisible by "
+                         f"scene_chunk={chunk}")
     outs = []
     for c0 in range(0, scenes, chunk):
         part = {m: v[c0:c0 + chunk] for m, v in cond_tokens.items()}

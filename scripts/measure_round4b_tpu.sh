@@ -55,8 +55,10 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 2400 \
 # the bench conditions trained serving on the training distribution's
 # scene clips at output/large_ckpt/synthetic (bench.py data_dir fallback)
 mkdir -p output/large_ckpt
-[ -e output/large_ckpt/synthetic ] || \
-    ln -s ../large_ckpt8/synthetic output/large_ckpt/synthetic
+# -sfn: replace even a dangling symlink ([ -e ] follows links, so a
+# dangling one made the old guard skip ln and the bench silently ran
+# without conditioning data — ADVICE r4)
+ln -sfn ../large_ckpt8/synthetic output/large_ckpt/synthetic
 
 say "r4b stage 4a: spec acceptance at serving config (K=8, win-8, clamp)"
 UMGEN_BENCH_SPEC_K=8 UMGEN_BENCH_FRAMES=8 UMGEN_BENCH_BUDGET_S=1200 \

@@ -8,9 +8,14 @@
 # punishes a verifier sharper than its draft).  One training change
 # answers it: 24 scenes (4x the data), OAR label smoothing 0.1 and OAR
 # loss weight 0.5 — all three push the verifier's confidence toward the
-# draft's.  Then measure in-regime acceptance (cond=4, depth <= trained
-# window 8, tpe rows all trained) against the ~0.7 drafts/chunk
-# break-even of the ~1.6x verify-chunk cost.
+# draft's.  The run also trains in RELATIVE temporal-PE mode (r5's new
+# first-class re-anchoring): with a window-8 ring every attention
+# distance at ANY rollout depth is a trained distance, so this one
+# checkpoint answers BOTH open causes:
+#   stage 2 (cond=4, depth <= 8)  -> the calibration question
+#   stage 3 (cond=16, depth 17-20) -> the depth/re-anchoring question
+# against the ~0.7 drafts/chunk break-even of the ~1.6x verify-chunk
+# cost.
 #
 # Run AFTER r5a/r5b release the relay.
 
@@ -24,12 +29,13 @@ say "r5c stage 0: relay health"
 timeout 300 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1 \
     || { say "relay DOWN — aborting"; exit 1; }
 
-say "r5c stage 1: calibrated window-8 training (24 scenes, smooth 0.1, oar_w 0.5)"
+say "r5c stage 1: calibrated RELATIVE-PE window-8 training (24 scenes, smooth 0.1, oar_w 0.5)"
 timeout "${R5C_TRAIN_BUDGET_S:-5400}" python -m umgen_tpu.tools.train \
     --model_scale larger \
     --steps "${R5C_STEPS:-1200}" --batch_size 1 --window 8 --lr 3e-4 \
     --optimizer sign_sgd --param_dtype bfloat16 --remat \
     --synthetic_data 24 --oar_label_smooth 0.1 --oar_loss_weight 0.5 \
+    --temporal_pe relative \
     --ckpt_dir output/large_ckpt8cal --save_every 400 \
     --log_every 20 >> "$LOG" 2>&1 \
     || say "stage 1 exited nonzero (timeout or crash) — continuing with newest ckpt"
