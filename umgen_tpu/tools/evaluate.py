@@ -116,6 +116,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "shares weight fetches across groups so the kernel "
                    "fits VMEM at large B — use 2 or 4 for B=8; 0 = whole "
                    "batch)")
+    p.add_argument("--temporal_pe", type=str, default="absolute",
+                   choices=["absolute", "relative"],
+                   help="temporal-PE mode; 'relative' serves owned "
+                   "checkpoints trained with the per-head distance bias "
+                   "(deep cached rollouts become distributionally exact "
+                   "— models/umgen.py)")
+    p.add_argument("--tpe_clamp", type=int, default=None,
+                   help="clamp temporal-PE indices/distances to the "
+                   "checkpoint's trained window - 1 (absolute mode: "
+                   "avoids untrained tpe rows on deep cached rollouts)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel chips for serving: scenes split "
                    "over a dp-mesh via an explicit shard_map program "
@@ -161,7 +171,9 @@ def config_from_args(args):
                        oar_batch_block=args.oar_batch_block,
                        chunked_prefill=args.chunked_prefill,
                        tar_cache_window=args.tar_cache_window,
-                       tar_cache_refresh=args.tar_cache_refresh).scaled(
+                       tar_cache_refresh=args.tar_cache_refresh,
+                       temporal_pe_mode=args.temporal_pe,
+                       tpe_clamp=args.tpe_clamp).scaled(
                            args.model_scale)
 
 
