@@ -51,10 +51,13 @@ def test_add_pos_emb_saturates_not_wraps():
                                np.asarray(last[:, 0]), atol=0)
 
 
-def test_tpe_clamp_rows_beyond_trained_window_never_read():
+@pytest.mark.slow            # ~50 s: two full tiny-rollout compiles; the
+def test_tpe_clamp_rows_beyond_trained_window_never_read():   # cheap
     """With tpe_clamp = trained_window - 1, NaN-poisoning every tpe row
     beyond the trained window must not change a single generated token —
-    proof the cached path cannot touch untrained rows at any depth."""
+    proof the cached path cannot touch untrained rows at any depth.
+    (Fast tier keeps test_add_pos_emb_saturates_not_wraps, the index-level
+    guarantee this rollout-level proof rides on.)"""
     cfg = ModelConfig(tpe_clamp=2, **BASE).scaled("tiny")
     model = UMGen(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -31,11 +31,12 @@ def _mk(optimizer, param_dtype="float32"):
 
 
 @pytest.mark.parametrize("optimizer,pdtype", [
-    # adamw-f32 is 42 s on the 1-core host and exercises the same
-    # donation/round-trip machinery; the fast tier keeps the production
-    # single-chip combo (sign-SGD + bf16, what trains the 2.4B)
+    # both variants are compile-dominated (42-74 s on the 1-core host);
+    # the donated-state machinery they exercise is also covered every
+    # fast-tier run by test_sign_sgd_state_is_tiny + the trainer's use
+    # in test_bench_contract/test_dcn (slow tier runs these fully)
     pytest.param("adamw", "float32", marks=pytest.mark.slow),
-    ("sign_sgd", "bfloat16")])
+    pytest.param("sign_sgd", "bfloat16", marks=pytest.mark.slow)])
 def test_train_step_donated_state_round_trips(optimizer, pdtype):
     trainer, state, batch = _mk(optimizer, pdtype)
     step = trainer.jit_train_step()
@@ -51,6 +52,19 @@ def test_train_step_donated_state_round_trips(optimizer, pdtype):
     # the first update is a warmup no-op, so step 3 is the earliest
     # detectable movement)
     assert losses[2] != losses[0]
+
+
+def test_loss_fn_finite():
+    """Fast-tier smoke of the training objective itself (the donated-
+    state round trips are slow-tier: their forward+BACKWARD compile is
+    42-74 s): one jitted forward-only loss must be finite and carry all
+    three terms."""
+    trainer, state, batch = _mk("sign_sgd", "bfloat16")
+    loss, metrics = jax.jit(trainer.loss_fn)(
+        state.params, state.buffers, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    for k in ("ego_loss", "tar_loss", "oar_loss"):
+        assert np.isfinite(float(metrics[k]))
 
 
 def test_sign_sgd_state_is_tiny():
