@@ -588,28 +588,41 @@ def main():
         return r.stdout, None
 
     # preflight probe (rung 1 on a big TPU config only): a ~20 s child
-    # that allocates rung 1's HBM footprint.  If another process holds
-    # the chip, wait once for it to finish, then start at rung 2 instead
-    # of compiling 4 minutes into a guaranteed RESOURCE_EXHAUSTED
-    # (BENCH_r04 post-mortem).
+    # that allocates rung 1's HBM footprint (BENCH_r04 post-mortem —
+    # never compile 4 minutes into a guaranteed RESOURCE_EXHAUSTED).
+    # Failure modes differ: a probe TIMEOUT means another process holds
+    # the relay itself (jax import blocks until it releases — every rung
+    # would hang the same way, so KEEP WAITING while budget allows); a
+    # probe ERROR means the relay answered but the HBM allocation failed
+    # (fragmented/occupied memory) — retry once, then descend the ladder.
     first = 0
     if big and rungs and rungs[0][1] and remaining() > 300:
         need = rungs[0][1]
-        ok, err = run_child({"UMGEN_BENCH_PROBE_BYTES": str(need)},
-                            120, "probe")
-        if err is not None:
-            note(f"preflight probe ({need >> 30} GiB) failed ({err}) — "
-                 "chip busy? waiting 45 s and retrying", start_wall)
-            time.sleep(45)
-            ok, err = run_child({"UMGEN_BENCH_PROBE_BYTES": str(need)},
-                                120, "probe")
-            if err is not None:
-                note("probe failed twice — starting at rung 2",
+        while True:
+            _out, err = run_child({"UMGEN_BENCH_PROBE_BYTES": str(need)},
+                                  120, "probe")
+            if err is None:
+                note("preflight probe ok — chip has rung-1 headroom",
                      start_wall)
+                break
+            if err == "TimeoutExpired" and remaining() > 420:
+                note(f"preflight probe timed out — relay held by another "
+                     f"process; waiting ({remaining():.0f}s budget left)",
+                     start_wall)
+                time.sleep(30)
+                continue
+            note(f"preflight probe ({need >> 30} GiB) failed ({err}) — "
+                 "waiting 45 s and retrying once", start_wall)
+            time.sleep(45)
+            _out, err = run_child({"UMGEN_BENCH_PROBE_BYTES": str(need)},
+                                  120, "probe")
+            if err is None:
+                note("retry probe ok — chip has rung-1 headroom",
+                     start_wall)
+            else:
+                note("probe failed twice — starting at rung 2", start_wall)
                 first = 1
-        if err is None:
-            note("preflight probe ok — chip has rung-1 headroom",
-                 start_wall)
+            break
 
     last_err = "no rung attempted"
     for i in range(first, len(rungs)):

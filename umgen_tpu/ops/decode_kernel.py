@@ -20,6 +20,16 @@ the entire layer stack as ONE pallas_call with grid=(n_layers,):
 
 Decode only (Q == 1); prefill and multi-query forced steps use the XLA
 path.  Numerics match Rollout.oar_step to bf16 rounding.
+
+Variant status (maintenance note): the SERVING set is v5 (flat int8 KV,
+batch-split grid), w4 (its W4A8 twin) and the mq family (v5mq/w4mq/
+v5mqi4/w4mqi4 — speculative verify); v5i4/w4i4 are the opt-in int4-KV
+memory knob.  v1-v4 are superseded measured history and v6/v7 are
+measured negative results (aliased append ties v5; block-diagonal
+batched attention loses at B>=4) — all stay in-tree solely as tested
+oracles for the serving kernels (tests/test_decode_kernel.py exercises
+every variant against the XLA step); remove them only together with
+their tests.
 """
 
 from __future__ import annotations
