@@ -20,16 +20,27 @@ timeout 300 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1 \
     || { say "relay DOWN — aborting"; exit 1; }
 
 say "r5b stage 1: B=5 win-20 bb=5 W4 (full window, int8 OAR KV)"
-UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=5 UMGEN_BENCH_WINDOW=20 \
+OUT1=$(UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=5 UMGEN_BENCH_WINDOW=20 \
     UMGEN_BENCH_BATCH_BLOCK=5 UMGEN_BENCH_FRAMES=8 \
     UMGEN_BENCH_BUDGET_S=600 UMGEN_BENCH_HARD_BUDGET_S=620 \
-    timeout 700 python bench.py >> "$LOG" 2>&1 || say "1 exited nonzero"
+    timeout 700 python bench.py 2>> "$LOG") || say "1 exited nonzero"
+echo "$OUT1" >> "$LOG"
 
-say "r5b stage 2: B=5 win-20 bb=5 W4 + int4 OAR KV (w4i4; 0.3 GB less)"
-UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=5 UMGEN_BENCH_WINDOW=20 \
-    UMGEN_BENCH_BATCH_BLOCK=5 UMGEN_BENCH_OAR_KV=int4 \
-    UMGEN_BENCH_FRAMES=8 \
-    UMGEN_BENCH_BUDGET_S=600 UMGEN_BENCH_HARD_BUDGET_S=620 \
-    timeout 700 python bench.py >> "$LOG" 2>&1 || say "2 exited nonzero"
+# stage 2 (int4 OAR KV shaves 0.3 GB) only if stage 1 failed to produce
+# a number: its config mismatches the pre-quantized serving artifact, so
+# it pays the full random-init + host-quantization prep (~8-10 min) and
+# needs the bigger budget
+case "$OUT1" in
+*'"value": 0.0'*|"")
+    say "r5b stage 2: B=5 win-20 bb=5 W4 + int4 OAR KV (w4i4 fallback)"
+    UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=5 UMGEN_BENCH_WINDOW=20 \
+        UMGEN_BENCH_BATCH_BLOCK=5 UMGEN_BENCH_OAR_KV=int4 \
+        UMGEN_BENCH_FRAMES=8 \
+        UMGEN_BENCH_BUDGET_S=1100 UMGEN_BENCH_HARD_BUDGET_S=1150 \
+        timeout 1250 python bench.py >> "$LOG" 2>&1 \
+        || say "2 exited nonzero" ;;
+*)
+    say "r5b stage 2 skipped (stage 1 produced a number)" ;;
+esac
 
 say "r5b done"
