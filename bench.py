@@ -172,6 +172,10 @@ def run_single():
     if w4 and not fused:
         raise SystemExit("UMGEN_BENCH_W4=1 requires the fused kernel "
                          "(UMGEN_BENCH_FUSED=1)")
+    # W4 for the TAR-family stacks via the XLA dequant path (r5): frees
+    # ~1 GB HBM at the larger scale — the full-window B=5 enabler
+    # (B=5 win-20 missed HBM by 49.5 MB with TAR at int8, r5b).
+    tar_w4 = os.environ.get("UMGEN_BENCH_TAR_W4", "0") == "1"
 
     # trained-checkpoint serving (resolved before the config so the
     # speculative default can key off it): UMGEN_BENCH_CKPT, or — the
@@ -196,7 +200,10 @@ def run_single():
                 meta = json.load(f)
             want = {"scale": scale, "w8_mode": w8_mode, "w4": w4,
                     "fused": fused, "oar_kv": oar_kv}
-            if all(meta.get(k) == v for k, v in want.items()):
+            # bool() the tar_w4 side: pre-r5 artifacts have no such key
+            # (None must match the default False, not force random init)
+            if (all(meta.get(k) == v for k, v in want.items())
+                    and bool(meta.get("tar_w4")) == tar_w4):
                 serving_path = serv
         if not serving_path and scale == "larger":
             cand = os.path.join(here, "output", "large_ckpt", "final")
@@ -330,6 +337,9 @@ def run_single():
             elif cfg.fused_oar_kernel:
                 from umgen_tpu.runtime.quantize import pack_fused
                 params = pack_fused(params, cfg.oar_cache_dtype)
+            if tar_w4:
+                from umgen_tpu.runtime.quantize import quantize_params_w4
+                params = quantize_params_w4(params)
         del raw_oar                    # frees the unquantized OAR stack
         jax.block_until_ready(params)
 
@@ -472,6 +482,7 @@ def run_single():
                 f"tar={tar_mode}, kv={kv_dtype}, oar_kv={oar_kv}"
                 f"{', int8-OAR' if w8 else ''}"
                 f"{(', fused-w4' if w4 else ', fused-v5') if fused else ''}"
+                f"{', tar-w4' if tar_w4 else ''}"
                 f"{bb_str}{ckpt_str}{data_str}{spec_str}"
                 f"; p50 frame latency "
                 f"{p50:.3f}s; compile {compile_s:.0f}s; {n_measured} frames "

@@ -58,15 +58,22 @@ def main():
                          "XLA fallback path serves)")
     ap.add_argument("--w4", type=int, default=1,
                     help="group-128 int4 OAR weights (fused only)")
+    ap.add_argument("--tar_w4", type=int, default=0,
+                    help="group-128 int4 TAR-family weights served by the "
+                         "XLA dequant path — frees ~1 GB HBM for the "
+                         "full-window scene batch (quality: same 4-8% "
+                         "per-matmul envelope as the OAR W4)")
     args = ap.parse_args()
 
     from umgen_tpu.runtime.checkpoint import load_params, save_params
     from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS, pack_fused,
                                             pack_fused_w4,
-                                            quantize_params_int8)
+                                            quantize_params_int8,
+                                            quantize_params_w4)
 
     meta = dict(META, scale=args.scale, fused=bool(args.fused),
-                w4=bool(args.fused and args.w4))
+                w4=bool(args.fused and args.w4),
+                tar_w4=bool(args.tar_w4))
     train_meta = os.path.join(os.path.dirname(args.src), "train_meta.json")
     if os.path.isfile(train_meta):
         with open(train_meta) as f:
@@ -100,6 +107,10 @@ def main():
         params = pack_fused(params, META["oar_kv"])
         print(f"  fused packing in {time.time() - t1:.0f}s", flush=True)
     del raw_oar, tree
+    if meta["tar_w4"]:
+        t1 = time.time()
+        params = quantize_params_w4(params)
+        print(f"  tar w4 in {time.time() - t1:.0f}s", flush=True)
 
     params["buffers"] = buffers
     t1 = time.time()

@@ -47,7 +47,8 @@ def _w4_roundtrip(w):
 
 def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
             w8=False, tar_cache_dtype=None, oar_cache_dtype=None,
-            w4_sim=False, scenes=1, seed=0, scene_chunk=0):
+            w4_sim=False, tar_w4_sim=False, scenes=1, seed=0,
+            scene_chunk=0):
     import jax
     import numpy as np
 
@@ -108,21 +109,26 @@ def rollout(scale, tar_mode, ckpt, cond, frames, window, sample,
     del tree, buffers
     params = jax.tree.map(jnp.asarray, restored)
     del restored
+    def _w4_walk(t, name):
+        if isinstance(t, dict):
+            if "w" in t and name in ("qkv", "proj", "fc", "q", "k", "v"):
+                return {**t, "w": jax.numpy.asarray(
+                    _w4_roundtrip(t["w"]), t["w"].dtype)}
+            return {k: _w4_walk(v, k) for k, v in t.items()}
+        return t
+
     if w4_sim:
         # the w4 serving config: group-int4 OAR weights (simulated by
         # dequantized round-trip), int8 everywhere else
-        oar = params["oar"]
-
-        def walk(t, name):
-            if isinstance(t, dict):
-                if "w" in t and name in ("qkv", "proj", "fc"):
-                    return {**t, "w": jax.numpy.asarray(
-                        _w4_roundtrip(t["w"]), t["w"].dtype)}
-                return {k: walk(v, k) for k, v in t.items()}
-            return t
-
         params = dict(params)
-        params["oar"] = walk(oar, "oar")
+        params["oar"] = _w4_walk(params["oar"], "oar")
+    if tar_w4_sim:
+        # the r5 tar-w4 config (quantize_params_w4): group-int4
+        # TAR-family weights — same arithmetic as the XLA wq4 path
+        params = dict(params)
+        for key in ("tar", "map_tar", "box_tar", "ego_tar", "ego_ca"):
+            if key in params:
+                params[key] = _w4_walk(params[key], key)
     if w8:
         from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS,
                                                 quantize_params_int8)

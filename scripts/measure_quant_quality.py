@@ -69,6 +69,11 @@ def main():
         # int8 elsewhere, int4 rings + int8 OAR KV
         "D_w4_stack": dict(w8=True, w4_sim=True, tar_cache_dtype="int4",
                            oar_cache_dtype="int8"),
+        # D + group-int4 TAR-family weights (the r5 full-window B=5
+        # enabler — runtime/quantize.quantize_params_w4)
+        "E_tar_w4_stack": dict(w8=True, w4_sim=True, tar_w4_sim=True,
+                               tar_cache_dtype="int4",
+                               oar_cache_dtype="int8"),
     }
     if args.configs:
         names = set(args.configs.split(","))

@@ -133,7 +133,25 @@ def init_stack(key, n_layers: int, init_fn, *args) -> Params:
 # primitive ops
 # ---------------------------------------------------------------------------
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "wq" in p:
+    if "wq4" in p:
+        # group-int4 weights for the XLA path (runtime/quantize.py
+        # quantize_params_w4): nibble-packed along the INPUT dim, group
+        # scales [in/G, out].  The dequant materializes one layer's
+        # [in, out] bf16 weight as a scan-local temp (~3.5 MB at the
+        # larger scale) — storage in HBM stays int4, which is the point:
+        # the TAR-family stacks are ~2 GB int8 and ring memory is what
+        # caps the full-window scene batch.
+        packed = p["wq4"]                         # [in//2, out]
+        even = ((packed << 4) >> 4)               # rows 0, 2, 4, ...
+        odd = (packed >> 4)                       # rows 1, 3, 5, ...
+        K2, N = packed.shape[-2], packed.shape[-1]
+        q = jnp.stack([even, odd], axis=-2)       # [in//2, 2, out]
+        q = q.reshape(*packed.shape[:-2], 2 * K2, N)
+        scale = p["ws4"]                          # [in//G, out]
+        G = (2 * K2) // scale.shape[-2]
+        w = q.astype(x.dtype) * jnp.repeat(scale, G, axis=-2).astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif "wq" in p:
         # weight-only int8: HBM stores int8 + per-output-channel scales;
         # XLA fuses the dequant into the matmul read.  Measured on v5e at
         # the TAR shapes ([4414,768]@[768,2304]): this runs at 72 TF/s —
@@ -156,10 +174,10 @@ def slice_linear_out(p: Params, n: int) -> Params:
     head's step-0 vocab, ref:UMGen.py:1098-1101) shrink the matmul
     instead of discarding computed columns."""
     out = {}
-    for k in ("w", "wq"):
+    for k in ("w", "wq", "wq4"):
         if k in p:
             out[k] = p[k][..., :n]
-    for k in ("ws", "b"):
+    for k in ("ws", "ws4", "b"):
         if k in p:
             out[k] = p[k][..., :n]
     return out

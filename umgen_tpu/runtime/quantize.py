@@ -38,6 +38,70 @@ ALL_STACK_KEYS = DECODE_KEYS + (
     "tar", "map_tar", "box_tar", "ego_tar", "ego_ca", "map_mlp_pre",
     "img_mlp_pre", "head_tar_map", "head_tar_img", "head_tar_bbox3d",
     "head_tar_n_step_bbox3d", "head_tar_pose", "head_tar_aux", "head_ego")
+# the TAR-family stacks are ~2.0 GB of the 2.4 GB int8 total at the
+# larger scale — the W4 target when ring memory, not weight bandwidth,
+# is the constraint (B=5 at the full 20-frame window misses HBM by
+# 49.5 MB with everything else int4/int8 — r5b measurement)
+TAR_STACK_KEYS = ("tar", "map_tar", "box_tar", "ego_tar", "ego_ca")
+
+
+def _quantize_linear_w4(p: Params, group: int = 128) -> Params:
+    """{"w": [..., in, out]} → {"wq4": packed int4 [..., in//2, out],
+    "ws4": group scales [..., in//group, out]} for the XLA dequant path
+    (models/modules.linear).  Group-`group` symmetric int4 along the
+    input dim — the same arithmetic as the fused kernel's W4A8 weights
+    (ops/decode_kernel._quantize_w4_groups), stored nibble-packed along
+    the input dim so a layer-scan slice dequantizes to [in, out] with one
+    shift-pair + interleave."""
+    w = np.asarray(p["w"], dtype=np.float32)
+    *lead, K, N = w.shape
+    G = min(group, K)
+    wg = w.reshape(*lead, K // G, G, N)
+    amax = np.abs(wg).max(axis=-2, keepdims=True)
+    scale = np.maximum(amax / 7.0, 1e-8)
+    q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)
+    q = q.reshape(*lead, K, N)
+    packed = ((q[..., 1::2, :] << 4)
+              | (q[..., 0::2, :] & 0x0F)).astype(np.int8)
+    out = {"wq4": jnp.asarray(packed),
+           "ws4": jnp.asarray(np.squeeze(scale, axis=-2), jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_params_w4(params: Params,
+                       keys: Iterable[str] = TAR_STACK_KEYS) -> Params:
+    """Group-128 int4 weights for the selected subtrees, served by the
+    XLA dequant path (no fused kernel required — the TAR cascade has
+    none).  Halves the selected stacks' HBM vs int8; per-matmul rel err
+    4-8% (the same envelope as the fused W4A8 OAR weights)."""
+    LINEAR_NAMES = {"qkv", "proj", "fc", "q", "k", "v"}
+    out = dict(params)
+    for key in keys:
+        if key not in params:
+            continue
+
+        def walk(t, name):
+            if isinstance(t, dict):
+                if "w" in t and (name in LINEAR_NAMES
+                                 or name.startswith("head_")):
+                    return _quantize_linear_w4(t)
+                if "wq" in t and (name in LINEAR_NAMES
+                                  or name.startswith("head_")):
+                    # already int8: re-quantize from the dequantized int8
+                    # values (bench applies int8 everywhere first)
+                    w = (np.asarray(t["wq"], np.float32)
+                         * np.asarray(t["ws"], np.float32))
+                    keep = {"w": w}
+                    if "b" in t:
+                        keep["b"] = t["b"]
+                    return _quantize_linear_w4(keep)
+                return {k: walk(v, k) for k, v in t.items()}
+            return t
+
+        out[key] = walk(params[key], key)
+    return out
 
 
 def quantize_params_int8(params: Params,
