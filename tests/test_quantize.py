@@ -207,3 +207,23 @@ def test_quantize_params_w4_requantizes_int8():
     p4 = quantize_params_w4(p8, keys=("tar",))
     assert "wq4" in p4["tar"]["qkv"] and "wq" not in p4["tar"]["qkv"]
     assert "b" in p4["tar"]["qkv"]
+
+    # STACKED leaves ([L, K, N] weights, [L, N] per-channel int8 scales)
+    # must broadcast too — the serving-artifact path hit exactly this
+    L = 3
+    stack = nn.init_stack(jax.random.PRNGKey(1), L, nn.init_block_tar,
+                          D, False, jnp.float32)
+    s8 = quantize_params_int8({"tar": stack}, keys=("tar",))
+    s4 = quantize_params_w4(s8, keys=("tar",))
+    assert s4["tar"]["sa1"]["qkv"]["wq4"].shape == (L, D // 2, 3 * D)
+    # dequant sanity: w4-from-int8 stays close to the int8 dequant
+    w8d = (np.asarray(s8["tar"]["sa1"]["qkv"]["wq"], np.float32)
+           * np.asarray(s8["tar"]["sa1"]["qkv"]["ws"],
+                        np.float32)[..., None, :])
+    x = np.random.default_rng(2).normal(0, 1, (4, D)).astype(np.float32)
+    y4 = np.asarray(nn.linear(
+        jax.tree.map(lambda a: a[0], s4["tar"]["sa1"]["qkv"]),
+        jnp.asarray(x)))
+    y8 = x @ w8d[0]
+    rel = np.linalg.norm(y4 - y8) / np.linalg.norm(y8)
+    assert rel < 0.15, rel

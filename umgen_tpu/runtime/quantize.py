@@ -90,9 +90,11 @@ def quantize_params_w4(params: Params,
                 if "wq" in t and (name in LINEAR_NAMES
                                   or name.startswith("head_")):
                     # already int8: re-quantize from the dequantized int8
-                    # values (bench applies int8 everywhere first)
+                    # values (bench applies int8 everywhere first).
+                    # ws is per-out-channel [..., N] against wq
+                    # [..., K, N] — broadcast over the input dim
                     w = (np.asarray(t["wq"], np.float32)
-                         * np.asarray(t["ws"], np.float32))
+                         * np.asarray(t["ws"], np.float32)[..., None, :])
                     keep = {"w": w}
                     if "b" in t:
                         keep["b"] = t["b"]
