@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "shares weight fetches across groups so the kernel "
                    "fits VMEM at large B — use 2 or 4 for B=8; 0 = whole "
                    "batch)")
+    p.add_argument("--tar_w4", action="store_true",
+                   help="group-int4 TAR-family weights (XLA dequant path; "
+                   "frees ~1 GB HBM at the larger scale — the full-window "
+                   "scene-batch enabler; same 4-8% per-matmul envelope as "
+                   "the fused OAR W4)")
     p.add_argument("--temporal_pe", type=str, default="absolute",
                    choices=["absolute", "relative"],
                    help="temporal-PE mode; 'relative' serves owned "
@@ -227,6 +232,9 @@ def main(argv: Optional[list] = None) -> int:
         if cfg.fused_oar_kernel:
             from umgen_tpu.runtime.quantize import pack_fused
             params = pack_fused(params, cfg.oar_cache_dtype)
+    if args.tar_w4:
+        from umgen_tpu.runtime.quantize import quantize_params_w4
+        params = quantize_params_w4(params)
 
     # ---- detokenizers ----
     map_dec = image_dec = None
