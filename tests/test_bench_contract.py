@@ -73,3 +73,24 @@ def test_bench_serves_prequantized_artifact(tmp_path):
     # it served the artifact (not random init): step is reported and the
     # temporal-PE clamp came from the artifact's trained window
     assert "trained-ckpt@0" in out["unit"]
+
+
+@pytest.mark.slow
+def test_bench_ladder_falls_back_and_annotates():
+    """Rung 1 fails (B=0 crashes the child), the fallback rung must
+    still produce the one JSON line, rc 0, with the rung annotation —
+    the BENCH_r04 failure mode (rc=1, no JSON) must be impossible."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               UMGEN_BENCH_SCALE="tiny", UMGEN_BENCH_BATCH="0",
+               UMGEN_BENCH_FRAMES="4", UMGEN_BENCH_BUDGET_S="400",
+               UMGEN_BENCH_KV_DTYPE="bfloat16",
+               UMGEN_BENCH_OAR_KV="int8", UMGEN_BENCH_CKPT="none")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, cwd=REPO, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    out = json.loads(lines[0])
+    assert out["value"] > 0, out          # the fallback rung measured
+    assert "rung=2" in out["unit"], out["unit"]
