@@ -66,6 +66,15 @@ Environment knobs:
                         measured end-to-end budget on a trained checkpoint
                         is in PERFORMANCE.md "Quality budget of the
                         serving defaults"; set 0 for the int8 stack)
+  UMGEN_BENCH_TAR_W4    group-int4 TAR-family weights via the XLA dequant
+                        path (default 0; frees ~0.9 GB HBM at the larger
+                        scale — what makes B=5 fit the FULL 20-frame
+                        window; quality-certified at N=8, PERFORMANCE.md;
+                        costs ~0.9% at the win-8 default, so the default
+                        serving stack keeps it off)
+  UMGEN_BENCH_SERVING   pre-quantized serving-artifact dir (default
+                        output/large_ckpt/serving; use
+                        .../serving_tarw4 with UMGEN_BENCH_TAR_W4=1)
   UMGEN_BENCH_SPEC_K    speculative draft-chunk length (default 0 — always
                         opt-in: acceptance is structurally ~0 on random
                         weights and the verify overhead then costs 40-54%;
