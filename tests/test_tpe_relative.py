@@ -159,3 +159,25 @@ def test_relative_bias_reaches_gradients():
 
     g = jax.grad(loss)(jnp.zeros((H, 8)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+@pytest.mark.slow
+def test_relative_mode_composes_with_quantized_serving():
+    """The round-5 serving composition — relative PE x int8-everywhere x
+    group-int4 TAR-family weights — must roll out end to end (pinned
+    after the on-chip debug-scale CLI verification)."""
+    from umgen_tpu.models.generate import Generator
+    from umgen_tpu.runtime.quantize import (ALL_STACK_KEYS,
+                                            quantize_params_int8,
+                                            quantize_params_w4)
+
+    model, params = _tiny_model("relative")
+    params = quantize_params_int8(params, keys=ALL_STACK_KEYS)
+    params = quantize_params_w4(params)
+    cond = make_token_batch(model.layout, T=3, B=1, seed=0,
+                            config=model.config)
+    out = Generator(model, params, seed=3).generate(
+        cond, new_frames=2, cond_frames=model.t_max, input_cond_frames=3)
+    for m in model.layout.mod_order:
+        assert out[m].shape[1] == 5            # 3 cond + 2 generated
+        assert (out[m] >= 0).all()
