@@ -57,7 +57,10 @@ Environment knobs:
   UMGEN_BENCH_BATCH     parallel scenes (pins rung 1; default 10)
   UMGEN_BENCH_TAR_MODE  temporal_cache (default) | recompute
   UMGEN_BENCH_KV_DTYPE  TAR-ring storage: int4 (default; nibble-packed with
-                        per-frame-head scales) | float8_e4m3fn | bfloat16
+                        per-frame-head scales) | int2 (2-bit-packed with
+                        prefill-frozen channel equalizers — halves ring HBM
+                        again; what admits B>=8 at the full 20-frame
+                        window) | float8_e4m3fn | bfloat16
   UMGEN_BENCH_W8        int8 weight-only quantization (default "all" = every
                         stack; "1" also selects all stacks; "decode" = only
                         the decode-path stacks; per-matmul rel err < 2%)
@@ -166,7 +169,7 @@ def run_single():
     # the OAR cache supports bf16/fp8/int8/int4 (int4 via the v5i4/w4i4
     # kernels — a memory knob: measured slightly slower than int8)
     oar_kv = os.environ.get("UMGEN_BENCH_OAR_KV",
-                            "int8" if fused or kv_dtype == "int4"
+                            "int8" if fused or kv_dtype in ("int4", "int2")
                             else kv_dtype)
     # quantization knobs (hoisted: the serving-checkpoint fast path below
     # must check they match the pre-quantized artifact's config)
@@ -198,6 +201,7 @@ def run_single():
     force_random = ckpt_env is not None and ckpt_env in ("", "none")
     ckpt_path = "" if force_random else (ckpt_env or "")
     serving_path = ""
+    ckpt_random = False
     if ckpt_path == "" and not force_random:
         here = os.path.dirname(os.path.abspath(__file__))
         serv = os.environ.get(
@@ -214,6 +218,9 @@ def run_single():
             if (all(meta.get(k) == v for k, v in want.items())
                     and bool(meta.get("tar_w4")) == tar_w4):
                 serving_path = serv
+                # artifacts built from seeded random init (a fresh tree
+                # has no train state) must not masquerade as trained
+                ckpt_random = bool(meta.get("random_init"))
         if not serving_path and scale == "larger":
             cand = os.path.join(here, "output", "large_ckpt", "final")
             if os.path.isdir(cand):
@@ -479,7 +486,8 @@ def run_single():
     # weights + conditioning-data regime labels (VERDICT r4 task 8):
     # every recorded number must be self-describing
     ckpt_str = (f", trained-ckpt@{ckpt_step}"
-                if ckpt_step is not None else ", random-init")
+                if ckpt_step is not None and not ckpt_random
+                else ", random-init")
     data_str = ", data=scene-cond" if data_dir else ", data=uniform-random"
     bb_str = f", bb={cfg.oar_batch_block}" if cfg.oar_batch_block else ""
 

@@ -63,6 +63,15 @@ def main():
                          "XLA dequant path — frees ~1 GB HBM for the "
                          "full-window scene batch (quality: same 4-8% "
                          "per-matmul envelope as the OAR W4)")
+    ap.add_argument("--random_init", action="store_true",
+                    help="build the artifact from seeded random-init "
+                         "params instead of a train state (no --src "
+                         "needed).  Throughput benching only — the meta "
+                         "records random_init=true and bench.py labels "
+                         "the regime honestly.  Exists because bench.py's "
+                         "no-artifact startup (2.4B init + on-the-fly "
+                         "quantization) measured ~11 min, which blows the "
+                         "driver's per-rung budget on a fresh tree.")
     args = ap.parse_args()
 
     from umgen_tpu.runtime.checkpoint import load_params, save_params
@@ -75,21 +84,34 @@ def main():
                 w4=bool(args.fused and args.w4),
                 tar_w4=bool(args.tar_w4))
     train_meta = os.path.join(os.path.dirname(args.src), "train_meta.json")
-    if os.path.isfile(train_meta):
+    if not args.random_init and os.path.isfile(train_meta):
         with open(train_meta) as f:
             tm = json.load(f)
         meta["trained_window"] = tm.get("window")
         meta["temporal_pe"] = tm.get("temporal_pe", "absolute")
 
     t0 = time.time()
-    print(f"restoring {args.src} ...", flush=True)
-    # host=True: a TPU-saved train state restored in this CPU process
-    # needs no device shardings (and quantization is numpy anyway) —
-    # without it orbax raises "sharding ... should be specified" on
-    # cross-backend restores
-    tree = load_params(args.src, host=True)
-    step = int(__import__("numpy").asarray(tree["step"]))
-    print(f"  restored step {step} in {time.time() - t0:.0f}s", flush=True)
+    if args.random_init:
+        import jax
+        from umgen_tpu.config import ModelConfig
+        from umgen_tpu.models.umgen import UMGen
+        meta["random_init"] = True
+        print("random-init params (seed 0) ...", flush=True)
+        cfg = ModelConfig(param_dtype="bfloat16").scaled(args.scale)
+        tree = {"params": UMGen(cfg).init_params(jax.random.PRNGKey(0)),
+                "step": 0}
+        step = 0
+        print(f"  initialized in {time.time() - t0:.0f}s", flush=True)
+    else:
+        print(f"restoring {args.src} ...", flush=True)
+        # host=True: a TPU-saved train state restored in this CPU process
+        # needs no device shardings (and quantization is numpy anyway) —
+        # without it orbax raises "sharding ... should be specified" on
+        # cross-backend restores
+        tree = load_params(args.src, host=True)
+        step = int(__import__("numpy").asarray(tree["step"]))
+        print(f"  restored step {step} in {time.time() - t0:.0f}s",
+              flush=True)
 
     params = dict(tree["params"])
     buffers = tree.get("buffers") or params.get("buffers")

@@ -194,6 +194,106 @@ def test_block_tar_decode_deferred_q4_tracks_exact():
     assert err < 0.15, err
 
 
+def test_q2_pack_roundtrip():
+    """2-bit packing is exact for values in [-2, 1]."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.integers(-2, 2, size=(3, 5, 4, 8)), jnp.int8)
+    packed = nn.q2_pack(q)
+    assert packed.shape == (3, 5, 4, 2)
+    for j in range(4):
+        np.testing.assert_array_equal(np.asarray(nn.q2_unpack(packed, j)),
+                                      np.asarray(q)[..., j::4])
+
+
+def test_block_tar_decode_deferred_q2_tracks_exact():
+    """The 2-bit ring attention with channel equalizers approximates the
+    exact deferred path.  Tolerance is looser than int4 (4 levels/channel),
+    but the folded algebra — equalizer on the query/output, +0.5 offset as
+    rank-1 corrections — must keep the error bounded and the new K/V rows
+    exact."""
+    key = jax.random.PRNGKey(6)
+    p = nn.init_block_tar(key, D, False, jnp.float32)
+    B, S, T_max, Dh = 2, 6, 8, D // H
+    N = B * S
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, S, D))
+    # give channels distinct magnitudes so the equalizer matters
+    cmag = jnp.exp(jax.random.normal(jax.random.PRNGKey(10), (H, Dh)))
+    ring_k = jax.random.normal(jax.random.PRNGKey(8),
+                               (N, T_max, H, Dh)) * cmag
+    ring_v = jax.random.normal(jax.random.PRNGKey(9),
+                               (N, T_max, H, Dh)) * cmag
+    slot, n_valid = jnp.int32(5), jnp.int32(5)
+
+    y_ref, k_ref, v_ref = nn.block_tar_decode_deferred(
+        p, x, H, ring_k, ring_v, slot, n_valid)
+
+    def quant(a):
+        af = a.reshape(B, S, T_max, H, Dh)
+        c = jnp.maximum(jnp.max(jnp.abs(af), axis=(1, 2)), 1e-6)
+        ae = af / c[:, None, None]
+        s = jnp.maximum(jnp.max(jnp.abs(ae), axis=(1, 4)), 1e-6) / 1.5
+        q = jnp.clip(jnp.round(ae / s[:, None, :, :, None] - 0.5), -2, 1)
+        return (nn.q2_pack(q.astype(jnp.int8).reshape(N, T_max, H, Dh)),
+                s, c)
+
+    pk, sk, ck = quant(ring_k)
+    pv, sv, cv = quant(ring_v)
+    y_q2, k_q2, v_q2 = nn.block_tar_decode_deferred(
+        p, x, H, pk, pv, slot, n_valid, ring_scale_k=sk, ring_scale_v=sv,
+        ring_chan_k=ck, ring_chan_v=cv, ring_bits=2)
+
+    np.testing.assert_allclose(np.asarray(k_q2), np.asarray(k_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_q2), np.asarray(v_ref),
+                               atol=1e-6)
+    ref = np.asarray(y_ref)
+    err = np.abs(np.asarray(y_q2) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.35, err
+    # and the equalized path must beat equalizer-free int2 on this
+    # channel-skewed ring (the design's reason to exist)
+    ones = jnp.ones_like(ck)
+
+    def quant_flat(a):
+        af = a.reshape(B, S, T_max, H, Dh)
+        s = jnp.maximum(jnp.max(jnp.abs(af), axis=(1, 4)), 1e-6) / 1.5
+        q = jnp.clip(jnp.round(af / s[:, None, :, :, None] - 0.5), -2, 1)
+        return (nn.q2_pack(q.astype(jnp.int8).reshape(N, T_max, H, Dh)), s)
+
+    fk, fsk = quant_flat(ring_k)
+    fv, fsv = quant_flat(ring_v)
+    y_flat, _, _ = nn.block_tar_decode_deferred(
+        p, x, H, fk, fv, slot, n_valid, ring_scale_k=fsk, ring_scale_v=fsv,
+        ring_chan_k=ones, ring_chan_v=ones, ring_bits=2)
+    err_flat = np.abs(np.asarray(y_flat) - ref).max() / (
+        np.abs(ref).max() + 1e-9)
+    assert err < err_flat, (err, err_flat)
+
+
+def test_cached_int2_runs_and_tracks_fp32():
+    base = dict(dtype="float32", param_dtype="float32",
+                sample_method="greedy", use_pallas_attention=False,
+                rule_constrain=False, merge_ar_tar=False,
+                tar_mode="temporal_cache")
+    cfg32 = ModelConfig(tar_cache_dtype="float32", **base).scaled("tiny")
+    cfg2 = ModelConfig(tar_cache_dtype="int2", **base).scaled("tiny")
+    m32, m2 = UMGen(cfg32), UMGen(cfg2)
+    params = m32.init_params(jax.random.PRNGKey(0))
+    cache = m2.init_tar_cache(2)
+    k, v, sk, sv, ck, cv = cache["tar"]
+    assert k.dtype == jnp.int8 and k.shape[-1] == m2.config.head_dim // 4
+    assert sk.shape == (k.shape[0], 2, m2.t_max, m2.config.n_head)
+    assert ck.shape == (k.shape[0], 2, m2.config.n_head,
+                        m2.config.head_dim)
+    cond = make_token_batch(m32.layout, T=3, B=1, seed=0, config=cfg32)
+    out32 = Generator(m32, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    out2 = Generator(m2, params, seed=7).generate(
+        cond, new_frames=1, cond_frames=20, input_cond_frames=3)
+    assert out2["map"].shape == out32["map"].shape
+    agree = (out2["bbox3d"][:, -1] == out32["bbox3d"][:, -1]).mean()
+    assert agree > 0.5
+
+
 def test_cached_int4_runs_and_tracks_fp32():
     base = dict(dtype="float32", param_dtype="float32",
                 sample_method="greedy", use_pallas_attention=False,

@@ -467,13 +467,30 @@ def q4_unpack_odd(packed: jnp.ndarray) -> jnp.ndarray:
     return packed >> 4
 
 
+def q2_pack(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int2 values (int8 storage, range [-2, 1]) four-wise along the
+    last dim: byte d holds dims (4d | bits 0-1, 4d+1 | bits 2-3,
+    4d+2 | bits 4-5, 4d+3 | bits 6-7)."""
+    return ((q[..., 3::4] << 6) | ((q[..., 2::4] & 0x03) << 4)
+            | ((q[..., 1::4] & 0x03) << 2)
+            | (q[..., 0::4] & 0x03)).astype(jnp.int8)
+
+
+def q2_unpack(packed: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Sign-extended 2-bit field j in [0, 4) (original dims j::4)."""
+    return (packed << (6 - 2 * j)) >> 6 if j < 3 else packed >> 6
+
+
 def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
                               ring_k: jnp.ndarray, ring_v: jnp.ndarray,
                               slot, n_valid, attn_impl=sdpa,
                               ring_scale_k: Optional[jnp.ndarray] = None,
                               ring_scale_v: Optional[jnp.ndarray] = None,
                               t_bias_ring: Optional[jnp.ndarray] = None,
-                              t_bias_self: Optional[jnp.ndarray] = None):
+                              t_bias_self: Optional[jnp.ndarray] = None,
+                              ring_chan_k: Optional[jnp.ndarray] = None,
+                              ring_chan_v: Optional[jnp.ndarray] = None,
+                              ring_bits: int = 4):
     """BlockTAR single-frame step with READ-ONLY temporal rings.
 
     Returns (y [B, S, D], k_new, v_new [B*S, H, Dh]).  The caller scatters
@@ -489,6 +506,15 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     contraction is over Dh only, so the per-(scene, frame, head) scales are
     folded into the attention *logits* (k) and *weights* (v) — no
     dequantized ring is ever materialized.
+
+    int2 rings (ring_bits=2): ring_k/v are 2-bit-packed int8
+    [B*S, T_max, H, Dh//4]; dequant value = (q + 0.5) * scale * chan, where
+    ring_chan_k/v [B, H, Dh] are STATIC per-channel equalizers (frozen at
+    prefill; pass ones when no prefill statistics exist).  Both extra
+    factors fold exactly: chan multiplies the query (logits) / the output
+    (values) since it is T-independent, and the +0.5 offset becomes a
+    rank-1 correction (0.5 * sum_d q'_d on logits; 0.5 * sum_t w_t s_t on
+    values) — still no dequantized ring.
 
     t_bias_ring [H, T_max] / t_bias_self [H]: relative temporal-PE logit
     bias per ring slot (slot ages mapped by the caller) and for the new
@@ -521,7 +547,22 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
         s5 = s_bth.transpose(0, 2, 1)[:, None, :, None, :]
         return (t5 * s5).reshape(N, H, 1, T_max)
 
-    if packed:
+    if packed and ring_bits == 2:
+        # channel-equalized query: q'_d = q_d * chan_k[b, h, d]
+        qk = q
+        if ring_chan_k is not None:
+            qk = (q.reshape(B, S, H, Dh)
+                  * ring_chan_k[:, None].astype(q.dtype)).reshape(
+                      N, 1, H, Dh)
+        lp = sum(jnp.einsum("nqhd,nkhd->nhqk", qk[..., j::4],
+                            q2_unpack(ring_k, j).astype(q.dtype),
+                            preferred_element_type=jnp.float32)
+                 for j in range(4))
+        # +0.5 offset on every stored level: rank-1 logit correction
+        lp = (lp + 0.5 * jnp.sum(qk, axis=-1, dtype=jnp.float32)
+              .transpose(0, 2, 1)[:, :, :, None]) * scale
+        lp = fold(lp, ring_scale_k.astype(jnp.float32))
+    elif packed:
         lp = (jnp.einsum("nqhd,nkhd->nhqk", q[..., 0::2],
                          q4_unpack_even(ring_k).astype(q.dtype),
                          preferred_element_type=jnp.float32)
@@ -547,7 +588,18 @@ def block_tar_decode_deferred(p: Params, x: jnp.ndarray, n_head: int,
     denom = jnp.sum(ep, -1, keepdims=True) + es
     wp = ep / denom
     wself = (es / denom).astype(q.dtype)
-    if packed:
+    if packed and ring_bits == 2:
+        wps = fold(wp, ring_scale_v.astype(jnp.float32)).astype(q.dtype)
+        y = jnp.stack([jnp.einsum("nhqk,nkhd->nqhd", wps,
+                                  q2_unpack(ring_v, j).astype(q.dtype))
+                       for j in range(4)], axis=-1).reshape(N, 1, H, Dh)
+        # +0.5 offset: adds 0.5 * sum_t w_t s_t to every channel
+        y = y + 0.5 * jnp.sum(wps, axis=-1).transpose(0, 2, 1)[..., None]
+        if ring_chan_v is not None:
+            y = (y.reshape(B, S, H, Dh)
+                 * ring_chan_v[:, None].astype(q.dtype)).reshape(
+                     N, 1, H, Dh)
+    elif packed:
         wps = fold(wp, ring_scale_v.astype(jnp.float32)).astype(q.dtype)
         y_e = jnp.einsum("nhqk,nkhd->nqhd", wps,
                          q4_unpack_even(ring_v).astype(q.dtype))

@@ -536,6 +536,15 @@ class UMGen:
         quantization granularity."""
         return self.config.tar_cache_dtype == "int4"
 
+    @property
+    def _ring_q2(self) -> bool:
+        """int2 rings (sub-int4, VERDICT r4 "unvisited" lever): 2-bit-packed
+        int8 storage + per-(L, B, T, H) scales + STATIC per-(L, B, H, Dh)
+        channel equalizers frozen at prefill.  Halves ring HBM again vs
+        int4 — 1.32 GB/scene at win-20 vs int4's 2.63 — which is what
+        admits B >= 8 at the full 20-frame window on one v5e chip."""
+        return self.config.tar_cache_dtype == "int2"
+
     def init_tar_cache(self, B: int) -> Dict[str, Any]:
         cfg = self.config
         T_max = self.t_max
@@ -545,7 +554,17 @@ class UMGen:
                        "box_tar": cfg.n_box_tar_layer}
         for name, _, S in self._stack_names():
             L = layer_count[name]
-            if self._ring_q4:
+            if self._ring_q2:
+                shape = (L, B * S, T_max, cfg.n_head, cfg.head_dim // 4)
+                sshape = (L, B, T_max, cfg.n_head)
+                cshape = (L, B, cfg.n_head, cfg.head_dim)
+                cache[name] = (jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(sshape, jnp.float32),
+                               jnp.zeros(sshape, jnp.float32),
+                               jnp.ones(cshape, jnp.float32),
+                               jnp.ones(cshape, jnp.float32))
+            elif self._ring_q4:
                 shape = (L, B * S, T_max, cfg.n_head, cfg.head_dim // 2)
                 sshape = (L, B, T_max, cfg.n_head)
                 cache[name] = (jnp.zeros(shape, jnp.int8),
@@ -568,7 +587,10 @@ class UMGen:
         cache: Dict[str, Any] = {"frames": P()}
         ring = P(None, axis, None, None, None)
         for name, _, _ in self._stack_names():
-            if self._ring_q4:
+            if self._ring_q2:
+                s = P(None, axis, None, None)
+                cache[name] = (ring, ring, s, s, s, s)
+            elif self._ring_q4:
                 cache[name] = (ring, ring, P(None, axis, None, None),
                                P(None, axis, None, None))
             else:
@@ -607,6 +629,22 @@ class UMGen:
         q = jnp.clip(jnp.round(xf / s[:, None, :, None]), -7, 7)
         return nn.q4_pack(q.astype(jnp.int8).reshape(N, H, Dh)), s
 
+    @staticmethod
+    def _ring_q2_quantize_layer(x: jnp.ndarray, B: int, chan: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """int2 counterpart of `_ring_q2_quantize` for one new frame.
+        x: [N, H, Dh], chan: [B, H, Dh] frozen equalizer → (packed
+        [N, H, Dh//4] int8, scales [B, H] f32).  Levels are the symmetric
+        half-offset grid {-1.5, -0.5, 0.5, 1.5}·s·chan: q = clip(round(
+        x/(chan·s) - 0.5), -2, 1), dequant (q + 0.5)·s·chan.  The frame
+        scale s adapts per (scene, head) every write, so a stale equalizer
+        only mis-shapes relative channel weighting, never the range."""
+        N, H, Dh = x.shape
+        xf = x.astype(jnp.float32).reshape(B, N // B, H, Dh) / chan[:, None]
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 3)), 1e-6) * (1 / 1.5)
+        q = jnp.clip(jnp.round(xf / s[:, None, :, None] - 0.5), -2, 1)
+        return nn.q2_pack(q.astype(jnp.int8).reshape(N, H, Dh)), s
+
     def _run_tar_stack_cached(self, params, stack_name, ln_name, x, kv,
                               slot, n_valid):
         """x: [B, S, D] new frame → ([B, S, D], updated kv).
@@ -619,6 +657,34 @@ class UMGen:
         B = x.shape[0]
         tb_ring, tb_self = self._t_bias_ring(params, slot,
                                              kv[0].shape[2])
+
+        if self._ring_q2:
+            kv_k, kv_v, sk, sv, ck, cv = kv
+
+            def body_q2(h, layer):
+                p, k_l, v_l, sk_l, sv_l, ck_l, cv_l = layer
+                h, k_new, v_new = nn.block_tar_decode_deferred(
+                    p, h, cfg.n_head, k_l, v_l, slot, n_valid,
+                    attn_impl=self.attn, ring_scale_k=sk_l,
+                    ring_scale_v=sv_l, t_bias_ring=tb_ring,
+                    t_bias_self=tb_self, ring_chan_k=ck_l,
+                    ring_chan_v=cv_l, ring_bits=2)
+                return h, (self._ring_q2_quantize_layer(k_new, B, ck_l)
+                           + self._ring_q2_quantize_layer(v_new, B, cv_l))
+
+            h, (kp, s_k, vp, s_v) = jax.lax.scan(
+                body_q2, x, (params[stack_name], kv_k, kv_v, sk, sv,
+                             ck, cv))
+            kv_k = jax.lax.dynamic_update_slice(
+                kv_k, kp[:, :, None], (0, 0, slot, 0, 0))
+            kv_v = jax.lax.dynamic_update_slice(
+                kv_v, vp[:, :, None], (0, 0, slot, 0, 0))
+            sk = jax.lax.dynamic_update_slice(
+                sk, s_k[:, :, None], (0, 0, slot, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, s_v[:, :, None], (0, 0, slot, 0))
+            return (nn.layer_norm(params[ln_name], h),
+                    (kv_k, kv_v, sk, sv, ck, cv))
 
         if self._ring_q4:
             kv_k, kv_v, sk, sv = kv
@@ -683,6 +749,37 @@ class UMGen:
         keep = min(T, T_max)
         slots = np.arange(T - keep, T) % T_max     # static permutation
         t_bias = self._t_bias_window(params, T)
+
+        if self._ring_q2:
+            def body_q2(h, p):
+                h, (k, v) = nn.block_tar_collect_kv(p, h, cfg.n_head,
+                                                    attn_impl=self.attn,
+                                                    t_bias=t_bias)
+
+                def ring(a):          # a: [N, T, H, Dh]
+                    N, _, H, Dh = a.shape
+                    af = a.astype(jnp.float32).reshape(B, N // B, T, H, Dh)
+                    # frozen channel equalizer from the window statistics
+                    c = jnp.maximum(jnp.max(jnp.abs(af), axis=(1, 2)),
+                                    1e-6)                       # [B, H, Dh]
+                    ae = af / c[:, None, None]
+                    amax = jnp.max(jnp.abs(ae), axis=(1, 4))    # [B, T, H]
+                    s = jnp.maximum(amax, 1e-6) * (1.0 / 1.5)
+                    q = jnp.clip(jnp.round(ae / s[:, None, :, :, None]
+                                           - 0.5), -2, 1).astype(jnp.int8)
+                    packed = nn.q2_pack(q.reshape(N, T, H, Dh))
+                    r = jnp.zeros((N, T_max, H, Dh // 4), jnp.int8)
+                    r = r.at[:, slots].set(packed[:, -keep:])
+                    rs = jnp.zeros((B, T_max, H), jnp.float32)
+                    rs = rs.at[:, slots].set(s[:, -keep:])
+                    return r, rs, c
+
+                rk, rsk, rck = ring(k)
+                rv, rsv, rcv = ring(v)
+                return h, (rk, rv, rsk, rsv, rck, rcv)
+
+            h, kv = jax.lax.scan(body_q2, emb, params[stack_name])
+            return nn.layer_norm(params[ln_name], h), kv
 
         if self._ring_q4:
             def body_q4(h, p):

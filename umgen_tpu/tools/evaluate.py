@@ -79,7 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "keeps the reference's per-step overwrite semantics, "
                    "ref:UMGen.py:1464-1467)")
     p.add_argument("--kv_dtype", type=str, default="float8_e4m3fn",
-                   help="KV cache storage dtype (float8_e4m3fn | bfloat16)")
+                   help="KV cache storage dtype (float8_e4m3fn | bfloat16 "
+                   "| int4 | int2; int4/int2 pack the TAR rings with "
+                   "per-frame-head scales — int2 adds prefill-frozen "
+                   "per-channel equalizers — and fall the OAR cache back "
+                   "to int8)")
     p.add_argument("--int8", type=str, default="decode",
                    choices=["off", "decode", "all"],
                    help="weight-only int8 quantization scope")
@@ -167,7 +171,8 @@ def config_from_args(args):
                        tar_cache_dtype=args.kv_dtype,
                        oar_cache_dtype=(args.oar_kv_dtype or
                                         ("int8" if args.fused_oar
-                                         or args.kv_dtype == "int4"
+                                         or args.kv_dtype in ("int4",
+                                                              "int2")
                                          else args.kv_dtype)),
                        speculative_k=args.speculative_k,
                        speculative_bbox=not args.no_spec_bbox,
