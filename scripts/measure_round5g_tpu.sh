@@ -52,4 +52,11 @@ UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=8 UMGEN_BENCH_WINDOW=20 \
     UMGEN_BENCH_BUDGET_S=700 UMGEN_BENCH_HARD_BUDGET_S=720 \
     timeout 800 python bench.py >> "$LOG" 2>&1 || say "3 exited nonzero"
 
+say "r5g stage 4: B=15 win-8 bb=5 int2 rings (record-config stream ratio)"
+UMGEN_BENCH_LADDER=0 UMGEN_BENCH_BATCH=15 UMGEN_BENCH_WINDOW=8 \
+    UMGEN_BENCH_BATCH_BLOCK=5 UMGEN_BENCH_KV_DTYPE=int2 \
+    UMGEN_BENCH_FRAMES=8 \
+    UMGEN_BENCH_BUDGET_S=700 UMGEN_BENCH_HARD_BUDGET_S=720 \
+    timeout 800 python bench.py >> "$LOG" 2>&1 || say "4 exited nonzero"
+
 say "r5g done"
